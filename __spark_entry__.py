@@ -1,38 +1,169 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship stemmed BM25 top-k over transcripts derived
+from sf0.001 documents. `queries()`/`oracle_sql()` pair every implemented
+operator (SURVEY.md §2) with a DuckDB oracle; see
+`mini_distributed_search_engine_spark/oracle.py` for the oracle-construction
+rules (notably: the Porter stem step is dictionary-inlined in stemmed oracles
+because DuckDB's fts extension cannot load offline; `*_nostem` siblings are
+100% DuckDB-native).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mini_distributed_search_engine_spark import oracle as O
+from mini_distributed_search_engine_spark.index.build import build_index
+from mini_distributed_search_engine_spark.operators import flame
+from mini_distributed_search_engine_spark.query.bm25 import bm25_topk
+from mini_distributed_search_engine_spark.sources.transcripts import (
+    transcripts_from_documents)
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: stemmed BM25 top-k on sf0.001-derived transcripts."""
+    return _bm25(stem=True)(spark, SF0001)
+
+
+# ---------------------------------------------------------------------------
+# fulltext pipeline queries
+# ---------------------------------------------------------------------------
+
+def _q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tr = transcripts_from_documents(spark, sf_dir)
+    return tr.select("conv_id", "turn_idx", "role", "text", "tool",
+                     F.unix_timestamp("ts").alias("ts_epoch"))
+
+
+def _index(spark: SparkSession, sf_dir: str, stem: bool):
+    return build_index(transcripts_from_documents(spark, sf_dir), stem=stem)
+
+
+def _q_docs(stem: bool):
+    def q(spark, sf_dir):
+        idx = _index(spark, sf_dir, stem)
+        return idx.docs.select("doc_id", "conv_id", "turn_idx", "dl")
+    return q
+
+
+def _q_term_doc_tf(stem: bool):
+    def q(spark, sf_dir):
+        idx = _index(spark, sf_dir, stem)
+        return idx.term_doc_tf.select("term", "doc_id", "tf")
+    return q
+
+
+def _q_term_stats(stem: bool):
+    def q(spark, sf_dir):
+        return _index(spark, sf_dir, stem).term_stats.select("term", "df")
+    return q
+
+
+def _q_doc_stats(stem: bool):
+    def q(spark, sf_dir):
+        ds = _index(spark, sf_dir, stem).doc_stats
+        return ds.select("n_docs", F.round("avgdl", 9).alias("avgdl"))
+    return q
+
+
+def _bm25(stem: bool):
+    def q(spark, sf_dir):
+        idx = _index(spark, sf_dir, stem)
+        return bm25_topk(spark, idx.term_doc_tf, idx.term_stats, idx.doc_stats,
+                         stem=stem)
+    return q
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # fulltext pipeline (transcripts derived from documents)
+        "transcripts": _q_transcripts,
+        "docs_stable_ids": _q_docs(stem=True),
+        "term_doc_tf": _q_term_doc_tf(stem=True),
+        "term_doc_tf_nostem": _q_term_doc_tf(stem=False),
+        "term_stats": _q_term_stats(stem=True),
+        "doc_stats": _q_doc_stats(stem=True),
+        "bm25_topk": _bm25(stem=True),
+        "bm25_topk_nostem": _bm25(stem=False),
+        # Flame operator analogues (SURVEY.md §2.1)
+        "flame_scan_filter_project": flame.scan_filter_project,
+        "flame_wordcount": flame.wordcount,
+        "flame_distinct": flame.distinct_keys,
+        "flame_join": flame.join_orders_customer,
+        "flame_fold": flame.fold_aggregates,
+        "flame_groupby": flame.groupby_flag_status,
+        "flame_intersection": flame.intersection_keys,
+        "flame_cogroup": flame.cogroup_counts,
+        "flame_sample": flame.sample_deterministic,
+        "flame_take": flame.take_ordered,
+        "flame_count": flame.count_rows,
+        "flame_mappartitions": flame.mappartitions_token_count,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "transcripts": O.sql_transcripts(),
+        "docs_stable_ids": O.sql_docs(stem=True),
+        "term_doc_tf": O.sql_term_doc_tf(stem=True),
+        "term_doc_tf_nostem": O.sql_term_doc_tf(stem=False),
+        "term_stats": O.sql_term_stats(stem=True),
+        "doc_stats": O.sql_doc_stats(stem=True),
+        "bm25_topk": O.sql_bm25_topk(stem=True),
+        "bm25_topk_nostem": O.sql_bm25_topk(stem=False),
+        "flame_scan_filter_project": (
+            "SELECT l_orderkey, l_partkey, "
+            "round(l_extendedprice * (1 - l_discount), 4) AS revenue "
+            "FROM lineitem WHERE l_quantity > 45"),
+        "flame_wordcount": (
+            "WITH toks AS (SELECT unnest(string_split_regex(trim(regexp_replace("
+            "lower(text), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS word FROM documents) "
+            "SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM toks "
+            "WHERE word <> '' GROUP BY word"),
+        "flame_distinct": "SELECT DISTINCT o_custkey FROM orders",
+        "flame_join": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+            "round(sum(o_totalprice), 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"),
+        "flame_fold": (
+            "SELECT sum(l_quantity) AS sum_qty, max(l_extendedprice) AS max_price, "
+            "min(l_extendedprice) AS min_price, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM lineitem"),
+        "flame_groupby": (
+            "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, "
+            "sum(l_quantity) AS sum_qty FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"),
+        "flame_intersection": (
+            "SELECT c_custkey AS custkey FROM customer "
+            "INTERSECT SELECT o_custkey AS custkey FROM orders"),
+        "flame_cogroup": (
+            "WITH a AS (SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1), "
+            "b AS (SELECT c_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_cust "
+            "FROM customer GROUP BY 1) "
+            "SELECT coalesce(a.custkey, b.custkey) AS custkey, "
+            "CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders, "
+            "CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust "
+            "FROM a FULL OUTER JOIN b ON a.custkey = b.custkey"),
+        "flame_sample": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '_' || "
+            "CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'"),
+        "flame_take": ("SELECT o_orderkey, o_totalprice FROM orders "
+                       "ORDER BY o_orderkey LIMIT 10"),
+        "flame_count": "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
+        "flame_mappartitions": (
+            "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) "
+            "AS n_tokens FROM documents"),
+    }

@@ -1,0 +1,142 @@
+"""Shared text analyzer — the one chain used by BOTH index build and query.
+
+Faithfully reproduces the reference indexer's token pipeline
+(`Integration/src/cis5550/jobs/Indexer.java:160-204`):
+
+    lowercase -> strip tags -> non-alphanumerics to space -> split \\s+
+    -> pre-stem stop-word filter (Indexer.java:31-55 list, :180)
+    -> junk filter: any digit or length > 20 dropped (Indexer.java:447-461)
+    -> Porter stem (external/PorterStemmer.java)
+    -> overlong stems keep LAST 20 chars (Indexer.java:192-194)
+    -> post-stem stop-word filter (Indexer.java:199)
+
+The reference uses a *different, larger* stop list at query time
+(`jobs/Searcher.java:19-63`) — a quirk we deliberately do not copy: one
+analyzer serves both paths (SURVEY.md §7), which is what makes index terms
+and query terms comparable.
+
+Two implementations with identical semantics:
+  * `term_tokens_df(df, text_col)` — the distributed path: JVM-side
+    lower/regexp/split/explode/filters (whole-stage codegen), with ONLY the
+    Porter stem in an Arrow-batched pandas UDF (one Python call per unique
+    token per batch, never per row).
+  * `analyze(text)` — plain-Python single-doc path for tests/oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .porter import porter_stem, stem_series
+
+MAX_WORD_LEN = 20
+
+# Exact set from Integration/src/cis5550/jobs/Indexer.java:31-55.
+STOP_WORDS = frozenset("""
+a about above actually after again against all almost also although always am an and any are aren't as at
+b be because been before being below between both but by
+c can couldn't could come comes could've
+d did didn't do does doesn't doing down during
+e each either else enough ever every
+f few for from further furthermore
+g get gets getting got
+h had hadn't has hasn't have haven't having he he'd he'll he's her here here's hers herself him himself his how how's
+however http https htm html
+i i'd i'll i'm i've if in into is isn't it it's its itself
+j just k
+l let let's like likely
+m may maybe me might mine more most mostly must mustn't my myself
+n no nor not now of off often
+o on once only or org other our ours ourselves out over own
+p perhaps
+q quite
+r rather really regarding
+s same shan't she she'd she'll she's should shouldn't so some such
+t than that that's the their theirs them themselves then there there's these they they'd they'll they're they've this those through to too under until up very
+u v w was wasn't we we'd we'll we're we've were weren't what what's when when's where where's which while who who's whom why why's will with won't would wouldn't
+www x
+yet you you'd you'll you're you've your yours yourself yourselves z
+""".split())
+
+# Normalization regexes (searcher-side cleaning, jobs/Searcher.java:135,
+# matching what the crawler's processPageText already did to indexed text,
+# jobs/Crawler.java:954-973).
+_TAG_RE = r"<[^>]+>"
+_NON_ALNUM_RE = r"[^a-z0-9]+"
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, strip tags, collapse non-alphanumerics to single spaces."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, _TAG_RE, " ")
+    c = F.regexp_replace(c, _NON_ALNUM_RE, " ")
+    return F.trim(c)
+
+
+@F.pandas_udf(T.StringType())
+def porter_stem_udf(tokens):  # pragma: no cover - executed on executors
+    """Arrow-batched Porter stem; one Python stem per unique token per batch."""
+    return stem_series(tokens)
+
+
+def term_tokens_df(df: DataFrame, text_col: str = "text",
+                   keep_cols: tuple = ("doc_id",),
+                   stem: bool = True) -> DataFrame:
+    """Explode ``text_col`` into analyzed terms (one output row per surviving
+    token occurrence), keeping ``keep_cols``.
+
+    Everything except the stem itself runs JVM-side (codegen): tokenize via
+    split/explode, stop/junk filters via isin/rlike/length. ``stem=False``
+    yields the stem-free variant used by the DuckDB-oracle-checked queries
+    (DuckDB in this sandbox cannot load its fts/stem extension).
+    """
+    kept = [F.col(c) for c in keep_cols]
+    toks = (
+        df.select(*kept, F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+        # pre-stem stop filter + junk filter (digit or >20 chars)
+        .where(~F.col("tok").isin(*STOP_WORDS))
+        .where(~F.col("tok").rlike("[0-9]"))
+        .where(F.length("tok") <= MAX_WORD_LEN)
+    )
+    if stem:
+        toks = toks.withColumn("term", porter_stem_udf(F.col("tok")))
+        # overlong stems keep the LAST 20 chars (Indexer.java:192-194)
+        toks = toks.withColumn(
+            "term",
+            F.when(F.length("term") > MAX_WORD_LEN,
+                   F.substring(F.col("term"), -MAX_WORD_LEN, MAX_WORD_LEN))
+            .otherwise(F.col("term")),
+        )
+    else:
+        toks = toks.withColumn("term", F.col("tok"))
+    # post-stem stop filter (Indexer.java:199)
+    return toks.where(~F.col("term").isin(*STOP_WORDS)).select(*kept, "term")
+
+
+# ---------------------------------------------------------------------------
+# Plain-Python mirror (tests / brute-force oracle; NOT used on executors)
+# ---------------------------------------------------------------------------
+import re as _re
+
+_TAG_CRE = _re.compile(_TAG_RE)
+_NON_ALNUM_CRE = _re.compile(_NON_ALNUM_RE)
+_DIGIT_CRE = _re.compile(r"[0-9]")
+
+
+def analyze(text: str, stem: bool = True) -> list[str]:
+    """Single-string analyzer with semantics identical to `term_tokens_df`."""
+    s = _NON_ALNUM_CRE.sub(" ", _TAG_CRE.sub(" ", text.lower())).strip()
+    out: list[str] = []
+    for tok in s.split():
+        if tok in STOP_WORDS or _DIGIT_CRE.search(tok) or len(tok) > MAX_WORD_LEN:
+            continue
+        term = porter_stem(tok) if stem else tok
+        if len(term) > MAX_WORD_LEN:
+            term = term[-MAX_WORD_LEN:]
+        if term in STOP_WORDS:
+            continue
+        out.append(term)
+    return out

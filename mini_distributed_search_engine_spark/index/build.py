@@ -1,0 +1,100 @@
+"""Inverted-index build: stable docIDs, per-doc TF, stats, posting lists.
+
+Replaces the reference pipeline `Integration/src/cis5550/jobs/Indexer.java`
+(per-doc HashMap TF at :171-213, posting read-modify-write at :309-415) with
+declarative DataFrame stages. The reference's lossy posting caps
+(Indexer.java:22-23,320-400 — 95% replace-last / 5% top-15000 heap) were a
+skew workaround; we keep postings EXACT and handle skew with salting + AQE.
+
+Scale notes (the 100 TB story):
+* docID assignment is range-partition + per-partition offsets — no global
+  single-partition window, no driver-resident data beyond one row per
+  partition (a few thousand longs at 10^12 turns).
+* TF aggregation is a map-side-combinable groupBy (partial HashAggregate
+  before the exchange).
+* dl is denormalized into the posting rows (Lucene-style norms-with-postings)
+  so query-time scoring never joins the full docs table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..functions.analyzer import term_tokens_df
+
+
+def with_stable_doc_ids(transcripts: DataFrame,
+                        num_partitions: int | None = None) -> DataFrame:
+    """Assign dense docIDs 0..N-1 by (conv_id ASC, turn_idx ASC).
+
+    Two-phase, shuffle-once-per-phase, no global sort bottleneck:
+    range-repartition by the ordering key, count rows per range partition,
+    cumulative offsets on the driver (one long per partition), then a
+    partition-local row_number + offset. The range exchange guarantees
+    partition p's keys all precede partition p+1's, so offset+local index is
+    exactly the global dense rank. The materialized frame is persisted so the
+    sampled range bounds cannot differ between the count job and the final
+    plan.
+    """
+    spark = transcripts.sparkSession
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        transcripts.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["_pid"]: r["cnt"] for r in
+              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
+    out = (
+        ranged.withColumn("_local", F.row_number().over(w) - F.lit(1))
+        .join(F.broadcast(offsets_df), "_pid")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )
+    return out
+
+
+@dataclass(frozen=True)
+class IndexTables:
+    """The built index: all DataFrames, lazily computable or persisted."""
+    docs: DataFrame        # doc_id, conv_id, turn_idx, role, text, tool, ts, dl
+    term_doc_tf: DataFrame  # term, doc_id, tf, dl   (dl denormalized for scoring)
+    term_stats: DataFrame   # term, df
+    doc_stats: DataFrame    # n_docs, avgdl
+    postings: DataFrame     # term, df, postings array<struct<doc_id,tf,dl>> sorted
+
+
+def build_index(transcripts: DataFrame, stem: bool = True,
+                persist: bool = True) -> IndexTables:
+    docs_base = with_stable_doc_ids(transcripts)
+    terms = term_tokens_df(docs_base, "text", keep_cols=("doc_id",), stem=stem)
+    tf = (terms.groupBy("term", "doc_id")
+          .agg(F.count("*").cast("long").alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    docs = (docs_base.join(dl, "doc_id", "left")
+            .na.fill({"dl": 0})
+            .withColumn("dl", F.col("dl").cast("long")))
+    tf_dl = tf.join(dl, "doc_id")  # only docs with >=1 term carry postings
+    if persist:
+        tf_dl = tf_dl.persist(StorageLevel.MEMORY_AND_DISK)
+    term_stats = tf_dl.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    doc_stats = docs.agg(F.count("*").cast("long").alias("n_docs"),
+                         F.avg("dl").alias("avgdl"))
+    postings = (
+        tf_dl.groupBy("term")
+        .agg(F.count("*").cast("long").alias("df"),
+             F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("postings"))
+    )
+    return IndexTables(docs=docs, term_doc_tf=tf_dl, term_stats=term_stats,
+                       doc_stats=doc_stats, postings=postings)

@@ -1,0 +1,159 @@
+"""DuckDB oracle SQL builders for the correctness gate.
+
+Every oracle reproduces, in DuckDB's dialect, the exact semantics of the
+corresponding Spark query over the same parquet tables (pre-registered views
+``documents`` etc.). Two deliberate facts:
+
+* DuckDB in this sandbox cannot load its fts extension (no network), so the
+  Porter-stem step cannot run natively. Stemmed-pipeline oracles therefore
+  inline a token->stem dictionary over the *fixed* sf documents vocabulary
+  (31 words, identical across sf0.001/0.01/0.1). The dictionary values come
+  from our stemmer, whose parity with the reference's Java stemmer is
+  independently proven by `tests/test_porter.py` against goldens generated
+  by the compiled reference class. Everything else in the stemmed oracles —
+  derivation, docID assignment, tokenization, filters, TF/DF/DL, BM25 math,
+  ranking — is computed independently by DuckDB.
+* Each stemmed query has a ``*_nostem`` sibling whose oracle is 100%
+  DuckDB-native (no dictionary), closing the loop on the full pipeline.
+"""
+
+from __future__ import annotations
+
+from .functions.analyzer import MAX_WORD_LEN, STOP_WORDS, analyze
+from .functions.porter import porter_stem
+from .query.bm25 import DEFAULT_QUERY_SET, K1, B, Query, analyzed_query_terms
+from .sources.transcripts import derive_sql
+
+# The fixed vocabulary of the driver-generated documents tables (verified
+# identical across all sf dirs).
+DOCUMENTS_VOCAB = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def stop_list_sql() -> str:
+    return ", ".join(_sql_str(w) for w in sorted(STOP_WORDS))
+
+
+def stem_map_values() -> str:
+    rows = []
+    for tok in DOCUMENTS_VOCAB:
+        stem = porter_stem(tok)
+        if len(stem) > MAX_WORD_LEN:
+            stem = stem[-MAX_WORD_LEN:]
+        rows.append(f"({_sql_str(tok)}, {_sql_str(stem)})")
+    return ", ".join(rows)
+
+
+def transcripts_cte() -> str:
+    return derive_sql("documents", "duckdb")
+
+
+def analyzed_terms_ctes(stem: bool) -> str:
+    """CTE chain ``docs`` (doc_id/conv_id/turn_idx/text...) and ``sel``
+    (doc_id, term) implementing the full analyzer."""
+    stop = stop_list_sql()
+    stem_cte = f"stem_map(tok, stem) AS (VALUES {stem_map_values()}),\n" if stem else ""
+    if stem:
+        term_expr = ("coalesce(sm.stem, CASE WHEN length(f.tok) > {m} "
+                     "THEN substr(f.tok, length(f.tok) - {m} + 1) ELSE f.tok END)"
+                     ).format(m=MAX_WORD_LEN)
+        stem_join = "LEFT JOIN stem_map sm ON sm.tok = f.tok"
+    else:
+        term_expr = "f.tok"
+        stem_join = ""
+    return f"""
+WITH {stem_cte}tr AS ({transcripts_cte()}),
+docs AS (
+  SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS BIGINT) AS doc_id,
+         conv_id, turn_idx, role, text, tool, ts
+  FROM tr),
+rawtok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+                '<[^>]+>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS tok
+  FROM docs),
+f AS (
+  SELECT doc_id, tok FROM rawtok
+  WHERE tok <> '' AND length(tok) <= {MAX_WORD_LEN}
+    AND NOT regexp_matches(tok, '[0-9]') AND tok NOT IN ({stop})),
+terms AS (SELECT f.doc_id, {term_expr} AS term FROM f {stem_join}),
+sel AS (SELECT doc_id, term FROM terms WHERE term NOT IN ({stop}))
+"""
+
+
+def sql_transcripts() -> str:
+    return (f"SELECT conv_id, turn_idx, role, text, tool, "
+            f"CAST(epoch(ts) AS BIGINT) AS ts_epoch FROM ({transcripts_cte()})")
+
+
+def sql_docs(stem: bool = True) -> str:
+    return analyzed_terms_ctes(stem) + """
+, dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM sel GROUP BY doc_id)
+SELECT d.doc_id, d.conv_id, d.turn_idx, CAST(coalesce(dl.dl, 0) AS BIGINT) AS dl
+FROM docs d LEFT JOIN dl USING (doc_id)"""
+
+
+def sql_term_doc_tf(stem: bool = True) -> str:
+    return analyzed_terms_ctes(stem) + """
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY term, doc_id"""
+
+
+def sql_term_stats(stem: bool = True) -> str:
+    return analyzed_terms_ctes(stem) + """
+, tf AS (SELECT term, doc_id FROM sel GROUP BY term, doc_id)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term"""
+
+
+def sql_doc_stats(stem: bool = True) -> str:
+    return analyzed_terms_ctes(stem) + """
+, dl AS (SELECT doc_id, count(*) AS dl FROM sel GROUP BY doc_id)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(coalesce(dl.dl, 0)), 9) AS avgdl
+FROM docs d LEFT JOIN dl USING (doc_id)"""
+
+
+def qterms_values(queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
+                  stem: bool = True) -> str:
+    rows = analyzed_query_terms(queries, stem=stem)
+    if not rows:
+        rows = [("__none__", "__none__", 0)]
+    return ", ".join(f"({_sql_str(q)}, {_sql_str(t)}, {k})" for q, t, k in rows)
+
+
+def sql_bm25_topk(stem: bool = True,
+                  queries: tuple[Query, ...] = DEFAULT_QUERY_SET) -> str:
+    return analyzed_terms_ctes(stem) + f"""
+, tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM docs) AS n_docs,
+         (SELECT avg(coalesce(dl.dl, 0))
+          FROM docs d LEFT JOIN dl USING (doc_id)) AS avgdl),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qterms(query_id, term, k) AS (VALUES {qterms_values(queries, stem)}),
+contrib AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN tstats ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scores AS (SELECT query_id, k, doc_id, sum(c) AS raw FROM contrib GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query_id, doc_id, raw, k,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY raw DESC, doc_id ASC) AS INT) AS rank
+  FROM scores)
+SELECT query_id, rank, doc_id, round(raw, 6) AS score
+FROM ranked WHERE rank <= k"""

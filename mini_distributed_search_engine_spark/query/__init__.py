@@ -1,0 +1,1 @@
+"""PySpark-native analytics/search engine (Mini-Distributed-Search-Engine capabilities, Spark-first)."""
