@@ -102,14 +102,24 @@ def term_tokens_df(df: DataFrame, text_col: str = "text",
         .where(F.length("tok") <= MAX_WORD_LEN)
     )
     if stem:
-        toks = toks.withColumn("term", porter_stem_udf(F.col("tok")))
-        # overlong stems keep the LAST 20 chars (Indexer.java:192-194)
-        toks = toks.withColumn(
-            "term",
-            F.when(F.length("term") > MAX_WORD_LEN,
-                   F.substring(F.col("term"), -MAX_WORD_LEN, MAX_WORD_LEN))
-            .otherwise(F.col("term")),
+        # Stem DISTINCT tokens, not occurrences: the Python/Arrow path sees
+        # O(vocabulary) rows instead of O(token occurrences) — at 10^12-turn
+        # scale that is the difference between streaming the whole corpus
+        # through Python and a side computation. Zipf makes the distinct set
+        # tiny relative to occurrences; map-side partial dedup keeps the
+        # distinct shuffle small, and AQE turns the join broadcast when the
+        # dictionary fits (it essentially always does).
+        stem_dict = (
+            toks.select("tok").distinct()
+            .withColumn("term", porter_stem_udf(F.col("tok")))
+            # overlong stems keep the LAST 20 chars (Indexer.java:192-194)
+            .withColumn(
+                "term",
+                F.when(F.length("term") > MAX_WORD_LEN,
+                       F.substring(F.col("term"), -MAX_WORD_LEN, MAX_WORD_LEN))
+                .otherwise(F.col("term")))
         )
+        toks = toks.join(stem_dict, "tok")
     else:
         toks = toks.withColumn("term", F.col("tok"))
     # post-stem stop filter (Indexer.java:199)

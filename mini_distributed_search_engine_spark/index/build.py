@@ -73,6 +73,10 @@ class IndexTables:
     term_stats: DataFrame   # term, df
     doc_stats: DataFrame    # n_docs, avgdl
     postings: DataFrame     # term, df, postings array<struct<doc_id,tf,dl>> sorted
+    tf_root: DataFrame      # the persisted (term, doc_id, tf) root — unpersist() via this
+
+    def unpersist(self) -> None:
+        self.tf_root.unpersist()
 
 
 def build_index(transcripts: DataFrame, stem: bool = True,
@@ -81,14 +85,17 @@ def build_index(transcripts: DataFrame, stem: bool = True,
     terms = term_tokens_df(docs_base, "text", keep_cols=("doc_id",), stem=stem)
     tf = (terms.groupBy("term", "doc_id")
           .agg(F.count("*").cast("long").alias("tf")))
+    if persist:
+        # tf is the root every downstream table derives from (dl, stats,
+        # postings); persisting anything downstream of it would make docs /
+        # doc_stats re-run the whole analyze+aggregate chain.
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     docs = (docs_base.join(dl, "doc_id", "left")
             .na.fill({"dl": 0})
             .withColumn("dl", F.col("dl").cast("long")))
     tf_dl = tf.join(dl, "doc_id")  # only docs with >=1 term carry postings
-    if persist:
-        tf_dl = tf_dl.persist(StorageLevel.MEMORY_AND_DISK)
-    term_stats = tf_dl.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    term_stats = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
     doc_stats = docs.agg(F.count("*").cast("long").alias("n_docs"),
                          F.avg("dl").alias("avgdl"))
     postings = (
@@ -97,4 +104,27 @@ def build_index(transcripts: DataFrame, stem: bool = True,
              F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("postings"))
     )
     return IndexTables(docs=docs, term_doc_tf=tf_dl, term_stats=term_stats,
-                       doc_stats=doc_stats, postings=postings)
+                       doc_stats=doc_stats, postings=postings, tf_root=tf)
+
+
+def write_index(idx: IndexTables, path: str,
+                term_partitions: int | None = None) -> None:
+    """Materialize the index term-range-clustered.
+
+    `repartitionByRange(term) + sortWithinPartitions(term, doc_id)` gives
+    every parquet file a tight term min/max, so query-time term IN-list
+    predicates prune to the few row groups actually holding those terms —
+    the columnar analogue of the reference's per-term KVS row
+    (`pt-index`, Indexer.java:309). doc_id-sorted within term = posting
+    lists land pre-sorted for merge/compression.
+    """
+    spark = idx.term_doc_tf.sparkSession
+    term_partitions = term_partitions or spark.sparkContext.defaultParallelism
+    (idx.term_doc_tf
+     .repartitionByRange(term_partitions, "term", "doc_id")
+     .sortWithinPartitions("term", "doc_id")
+     .write.mode("overwrite").parquet(f"{path}/term_doc_tf"))
+    (idx.term_stats.repartitionByRange(max(1, term_partitions // 8), "term")
+     .sortWithinPartitions("term")
+     .write.mode("overwrite").parquet(f"{path}/term_stats"))
+    idx.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")

@@ -82,8 +82,14 @@ def bm25_topk(spark: SparkSession, term_doc_tf: DataFrame,
     stats = doc_stats.collect()[0]
     n_docs, avgdl = stats["n_docs"], stats["avgdl"]
 
-    sel = term_doc_tf.join(F.broadcast(qterms), "term")
-    sel = sel.join(F.broadcast(term_stats.join(qterms.select("term").distinct(), "term")),
+    # Literal IN-list on term BEFORE the joins: unlike a join, a literal
+    # predicate prunes parquet row-groups (PushedFilters) and in-memory
+    # cache batches by min/max stats — the Spark-native analogue of the
+    # reference's per-term KVS point lookup (Searcher.java:163).
+    term_list = sorted({t for _, t, _ in qrows})
+    pruned = term_doc_tf.where(F.col("term").isin(term_list))
+    sel = pruned.join(F.broadcast(qterms), "term")
+    sel = sel.join(F.broadcast(term_stats.where(F.col("term").isin(term_list))),
                    "term")
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))

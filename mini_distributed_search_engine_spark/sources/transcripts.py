@@ -167,20 +167,39 @@ def synthesize_transcripts(spark: SparkSession, n_convs: int,
     """
     partitions = partitions or max(8, math.ceil(n_convs / 50_000))
     ranges = spark.range(0, n_convs, 1, partitions).toDF("conv")
+    vocab = np.array(_VOCAB_BASE + _STRESS)
+    probs = _zipf_probs(len(vocab))
+    roles_arr = np.array(ROLES)
 
     def gen(iterator):
         for pdf in iterator:
-            for conv in pdf["conv"].to_numpy():
-                sub = synthesize_transcripts_pdf(
-                    1, turns_per_conv, seed=int(seed * 1_000_000_007 + conv) % (2**63),
-                    hot_token_frac=hot_token_frac)
-                sub["conv_id"] = f"conv{conv:08d}"
-                base_seq = conv * turns_per_conv
-                sub["ts"] = pd.to_datetime(
-                    BASE_EPOCH + (base_seq + np.arange(turns_per_conv)) * 60, unit="s")
-                sub["tool"] = [_TOOL_BY_MOD.get((base_seq + i) % 7, "")
-                               for i in range(turns_per_conv)]
-                yield sub
+            convs = pdf["conv"].to_numpy()
+            n = len(convs) * turns_per_conv
+            texts = []
+            for conv in convs:
+                # per-conv RNG: content independent of partitioning
+                rng = np.random.default_rng(
+                    int(seed * 1_000_000_007 + conv) % (2**63))
+                lens = rng.integers(5, 61, size=turns_per_conv)
+                toks = rng.choice(vocab, size=int(lens.sum()), p=probs)
+                if hot_token_frac > 0:
+                    hot = rng.random(len(toks)) < hot_token_frac
+                    toks = np.where(hot, rng.choice(roles_arr, size=len(toks)), toks)
+                for chunk in np.split(toks, np.cumsum(lens)[:-1]):
+                    texts.append(" ".join(chunk))
+            seq = (np.repeat(convs, turns_per_conv) * turns_per_conv
+                   + np.tile(np.arange(turns_per_conv), len(convs)))
+            tidx = (seq % turns_per_conv).astype("int32")
+            yield pd.DataFrame({
+                "conv_id": np.char.add("conv", np.char.zfill(
+                    np.repeat(convs, turns_per_conv).astype(str), 8)),
+                "turn_idx": tidx,
+                "role": roles_arr[tidx],
+                "text": texts,
+                "tool": [_TOOL_BY_MOD.get(s % 7, "") for s in seq],
+                "ts": pd.to_datetime(BASE_EPOCH + seq * 60, unit="s"),
+            })
+            assert len(texts) == n
 
     return ranges.mapInPandas(gen, TRANSCRIPT_SCHEMA)
 
