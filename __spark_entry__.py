@@ -22,8 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from mini_distributed_search_engine_spark import oracle as O
 from mini_distributed_search_engine_spark.index.build import build_index
+from mini_distributed_search_engine_spark.index.packed import (
+    build_packed_postings, merge_packed, unpack_to_rows)
 from mini_distributed_search_engine_spark.operators import flame
 from mini_distributed_search_engine_spark.query.bm25 import bm25_topk
+from mini_distributed_search_engine_spark.query.wand import wand_topk
 from mini_distributed_search_engine_spark.sources.transcripts import (
     transcripts_from_documents)
 
@@ -84,6 +87,24 @@ def _bm25(stem: bool):
     return q
 
 
+def _bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index MaxScore/WAND path; oracle = the same BM25 SQL as the
+    exhaustive path (rank-identity across physical plans is the point)."""
+    idx = _index(spark, sf_dir, stem=True)
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=256)
+    return wand_topk(spark, packed, idx.doc_stats)
+
+
+def _packed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode to delta+varint segments, merge one level, decode back —
+    must equal the raw (term, doc_id, tf, dl) table exactly."""
+    idx = _index(spark, sf_dir, stem=True)
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=128)
+    return unpack_to_rows(merge_packed(packed, level_factor=4))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # fulltext pipeline (transcripts derived from documents)
@@ -95,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats(stem=True),
         "bm25_topk": _bm25(stem=True),
         "bm25_topk_nostem": _bm25(stem=False),
+        "bm25_topk_wand": _bm25_wand,
+        "packed_roundtrip": _packed_roundtrip,
         # Flame operator analogues (SURVEY.md §2.1)
         "flame_scan_filter_project": flame.scan_filter_project,
         "flame_wordcount": flame.wordcount,
@@ -121,6 +144,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": O.sql_doc_stats(stem=True),
         "bm25_topk": O.sql_bm25_topk(stem=True),
         "bm25_topk_nostem": O.sql_bm25_topk(stem=False),
+        "bm25_topk_wand": O.sql_bm25_topk(stem=True),
+        "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "flame_scan_filter_project": (
             "SELECT l_orderkey, l_partkey, "
             "round(l_extendedprice * (1 - l_discount), 4) AS revenue "

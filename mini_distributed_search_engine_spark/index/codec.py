@@ -1,0 +1,146 @@
+"""Posting-list physical format: delta-gap + LEB128 varint, numpy-vectorized.
+
+The reference stores a posting list as one giant ``"url:tf, url:tf, ..."``
+string per term (`jobs/Indexer.java:309-415`). Ours is the standard IR
+format the north rule asks for: per (term, doc-shard) blobs of
+
+    doc_gaps : varint(first_doc, doc_id diffs)   -- monotone ascending docs
+    tfs      : varint(tf values)
+    dls      : varint(doc lengths)               -- Lucene-style norms inline
+
+plus block metadata every BLOCK postings (last doc_id and max BM25
+tf-normalization per block) for block-max pruning and cheap shard merges.
+
+Both encode and decode are vectorized: encode does <=10 masked passes (one
+per possible varint byte), decode reconstructs values with one scatter-add
+over byte groups. No per-value Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK = 128
+K1 = 1.2
+B = 0.75
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized, <=10 passes)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # byte length of each value: ceil(bit_length / 7), min 1
+    bl = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bl[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    np.maximum(bl, 1, out=bl)
+    ends = np.cumsum(bl)
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    starts = ends - bl
+    for i in range(int(bl.max())):
+        mask = bl > i
+        pos = starts[mask] + i
+        chunk = (v[mask] >> np.uint64(7 * i)).astype(np.uint64) & np.uint64(0x7F)
+        cont = np.where(bl[mask] > i + 1, 0x80, 0).astype(np.uint8)
+        out[pos] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode LEB128 bytes -> uint64 array (vectorized scatter-add)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    is_end = (b & 0x80) == 0
+    value_id = np.zeros(b.size, dtype=np.int64)
+    value_id[1:] = np.cumsum(is_end)[:-1]
+    n = int(value_id[-1]) + 1
+    group_start = np.zeros(n, dtype=np.int64)
+    ends_idx = np.nonzero(is_end)[0]
+    group_start[1:] = ends_idx[:-1] + 1
+    within = np.arange(b.size, dtype=np.int64) - group_start[value_id]
+    vals = np.zeros(n, dtype=np.uint64)
+    np.add.at(vals, value_id,
+              (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * within.astype(np.uint64)))
+    return vals
+
+
+@dataclass(frozen=True)
+class PackedPostings:
+    """One (term, shard) posting segment, decoded view."""
+    doc_ids: np.ndarray  # int64 ascending
+    tfs: np.ndarray      # int64
+    dls: np.ndarray      # int64
+
+
+def tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
+            k1: float = K1, b: float = B) -> np.ndarray:
+    """BM25 term-frequency normalization (idf-independent part), float64."""
+    tfs = tfs.astype(np.float64)
+    return tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
+
+
+def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                    avgdl: float) -> dict:
+    """Pack one sorted posting run into blobs + block metadata.
+
+    Returns dict with keys: df, first_doc, doc_gaps, tfs, dls,
+    block_last_doc, block_max_tf_norm, max_tf_norm.
+    """
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
+    tfs = np.asarray(tfs, dtype=np.int64)[order]
+    dls = np.asarray(dls, dtype=np.int64)[order]
+    gaps = np.empty_like(doc_ids)
+    if doc_ids.size:
+        gaps[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:])
+    norms = tf_norm(tfs, dls, avgdl)
+    n = doc_ids.size
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    block_last = doc_ids[np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)]
+    block_max = np.array([norms[i * BLOCK:(i + 1) * BLOCK].max()
+                          for i in range(n_blocks)], dtype=np.float64)
+    return {
+        "df": int(n),
+        "first_doc": int(doc_ids[0]) if n else 0,
+        "doc_gaps": varint_encode(gaps.astype(np.uint64)),
+        "tfs": varint_encode(tfs.astype(np.uint64)),
+        "dls": varint_encode(dls.astype(np.uint64)),
+        "block_last_doc": block_last.tolist(),
+        "block_max_tf_norm": block_max.tolist(),
+        "max_tf_norm": float(norms.max()) if n else 0.0,
+    }
+
+
+def decode_postings(doc_gaps: bytes, tfs: bytes, dls: bytes) -> PackedPostings:
+    gaps = varint_decode(doc_gaps).astype(np.int64)
+    return PackedPostings(
+        doc_ids=np.cumsum(gaps),
+        tfs=varint_decode(tfs).astype(np.int64),
+        dls=varint_decode(dls).astype(np.int64),
+    )
+
+
+def splice_gap_streams(first_a: int, gaps_a: bytes, last_doc_a: int,
+                       first_b: int, gaps_b: bytes) -> bytes:
+    """Concatenate two encoded gap streams where run B's docs all follow
+    run A's: only B's FIRST varint (its absolute first doc) must be
+    rewritten as a gap from A's last doc. O(1) decode work — the rest of
+    both streams is byte-copied. This is what makes hierarchical shard
+    merges cheap."""
+    b = np.frombuffer(gaps_b, dtype=np.uint8)
+    # length of B's first varint
+    i = 0
+    while b[i] & 0x80:
+        i += 1
+    new_first = varint_encode(np.array([first_b - last_doc_a], dtype=np.uint64))
+    return gaps_a + new_first + gaps_b[i + 1:]

@@ -106,6 +106,14 @@ def sql_term_doc_tf(stem: bool = True) -> str:
 SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY term, doc_id"""
 
 
+def sql_term_doc_tf_dl(stem: bool = True) -> str:
+    """(term, doc_id, tf, dl) — used to oracle the packed-index round-trip."""
+    return analyzed_terms_ctes(stem) + """
+, tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1)
+SELECT term, tf.doc_id, tf, dl FROM tf JOIN dl USING (doc_id)"""
+
+
 def sql_term_stats(stem: bool = True) -> str:
     return analyzed_terms_ctes(stem) + """
 , tf AS (SELECT term, doc_id FROM sel GROUP BY term, doc_id)

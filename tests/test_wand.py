@@ -1,0 +1,67 @@
+"""MaxScore/WAND over the packed index must be rank-identical to the
+exhaustive DataFrame path, across shard spans, merge levels, and skew."""
+
+from __future__ import annotations
+
+import pytest
+
+from mini_distributed_search_engine_spark.index.build import build_index
+from mini_distributed_search_engine_spark.index.packed import (
+    build_packed_postings, merge_packed, unpack_to_rows)
+from mini_distributed_search_engine_spark.query.bm25 import Query, bm25_topk
+from mini_distributed_search_engine_spark.query.wand import wand_topk
+from mini_distributed_search_engine_spark.sources.transcripts import (
+    synthesize_transcripts_pdf)
+
+QUERIES = (
+    Query("w1", "apple banana fig"),
+    Query("w2", "spark"),
+    Query("w3", "relational conditional adjustment activate", k=30),
+    Query("w4", "zzznope"),
+    Query("w5", "search engine index query", k=5),
+    Query("w6", "user assistant"),  # hot terms under skew
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    pdf = synthesize_transcripts_pdf(80, seed=99, hot_token_frac=0.3)
+    idx = build_index(spark.createDataFrame(pdf))
+    avgdl = idx.doc_stats.collect()[0]["avgdl"]
+    return idx, avgdl
+
+
+def _collect_ranked(df):
+    return sorted((r["query_id"], r["rank"], r["doc_id"], r["score"])
+                  for r in df.collect())
+
+
+@pytest.mark.parametrize("shard_span", [64, 10_000])
+def test_wand_matches_exhaustive(spark, built, shard_span):
+    idx, avgdl = built
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=shard_span)
+    got = _collect_ranked(wand_topk(spark, packed, idx.doc_stats, queries=QUERIES))
+    want = _collect_ranked(bm25_topk(spark, idx.term_doc_tf, idx.term_stats,
+                                     idx.doc_stats, queries=QUERIES))
+    assert [g[:3] for g in got] == [w[:3] for w in want]  # identical ranks/docs
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], abs=1e-6)
+
+
+def test_merge_preserves_postings_and_results(spark, built):
+    idx, avgdl = built
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=64)
+    merged = merge_packed(packed, level_factor=4)
+    merged2 = merge_packed(merged, level_factor=4)  # second level
+    # posting-level equivalence: unpack and compare against the tf table
+    orig = {(r["term"], r["doc_id"]): (r["tf"], r["dl"])
+            for r in idx.term_doc_tf.collect()}
+    got = {(r["term"], r["doc_id"]): (r["tf"], r["dl"])
+           for r in unpack_to_rows(merged2).collect()}
+    assert got == orig
+    # query-level equivalence across merge levels
+    want = _collect_ranked(wand_topk(spark, packed, idx.doc_stats, queries=QUERIES))
+    got_m = _collect_ranked(wand_topk(spark, merged2, idx.doc_stats, queries=QUERIES))
+    assert got_m == want
+    # merge actually reduced segment count
+    assert merged2.count() < packed.count()
