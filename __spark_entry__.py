@@ -21,6 +21,12 @@ from pyspark.sql import functions as F
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from mini_distributed_search_engine_spark import oracle as O
+from mini_distributed_search_engine_spark import oracle_ml as OM
+from mini_distributed_search_engine_spark.functions import dedup as D
+from mini_distributed_search_engine_spark.functions import similarity as S
+from mini_distributed_search_engine_spark.functions import textstats as TS
+from mini_distributed_search_engine_spark.functions.multimodal import (
+    attach_fake_media, extract_media_meta)
 from mini_distributed_search_engine_spark.index.build import build_index
 from mini_distributed_search_engine_spark.index.packed import (
     build_packed_postings, merge_packed, unpack_to_rows)
@@ -131,7 +137,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flame_take": flame.take_ordered,
         "flame_count": flame.count_rows,
         "flame_mappartitions": flame.mappartitions_token_count,
+        # training-data pipeline ops (dedup / similarity / text / multimodal)
+        "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
+        "dedup_minhash_sigs": lambda s, d: D.minhash_signatures(_docs(s, d)),
+        "dedup_lsh_candidates": lambda s, d: D.lsh_candidate_pairs(
+            D.minhash_signatures(_docs(s, d))),
+        "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
+        "embed_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d)),
+        "embed_lsh_ann_topk": lambda s, d: S.lsh_ann_topk(_emb(s, d)),
+        "embed_near_dup": lambda s, d: S.embedding_near_dup_pairs(_emb(s, d)),
+        "text_lang_id": lambda s, d: TS.lang_id(_docs(s, d)),
+        "text_quality": lambda s, d: TS.quality_score(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: TS.doc_fingerprint(_docs(s, d)),
+        "multimodal_meta": lambda s, d: extract_media_meta(
+            attach_fake_media(_docs(s, d))),
     }
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -191,4 +220,16 @@ def oracle_sql() -> dict[str, str]:
         "flame_mappartitions": (
             "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"),
+        "dedup_exact": OM.sql_dedup_exact(),
+        "dedup_minhash_sigs": OM.sql_minhash_signatures(),
+        "dedup_lsh_candidates": OM.sql_lsh_candidates(),
+        "dedup_ngram_jaccard": OM.sql_ngram_jaccard(),
+        "dedup_simhash": OM.sql_simhash(),
+        "embed_cosine_topk": OM.sql_cosine_topk(),
+        "embed_lsh_ann_topk": OM.sql_lsh_ann_topk(),
+        "embed_near_dup": OM.sql_embedding_near_dup(),
+        "text_lang_id": OM.sql_lang_id(),
+        "text_quality": OM.sql_quality_score(),
+        "doc_fingerprint": OM.sql_doc_fingerprint(),
+        "multimodal_meta": OM.sql_multimodal_meta(),
     }

@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+* `cosine_topk` — brute-force exact top-k, the correctness baseline. The
+  per-row cosine is a JVM-side `aggregate(zip_with(...))` fold in float64
+  (sequential, deterministic association order), so the DuckDB oracle's
+  per-index sum reproduces it to rounding precision.
+* `lsh_ann_topk` — the scale path: random-hyperplane (sign) LSH. Hyperplanes
+  are +/-1 vectors derived from md5 bits in PYTHON and embedded as literals
+  in both the Spark plan and the oracle SQL, so both engines bucket
+  identically. Query cost drops from O(N) rows to O(bucket size); exactness
+  is traded for recall (evaluated in tests against brute force).
+
+At 100 TB scale: brute force is one pass (fine for batch joins); the LSH
+variant turns per-query scans into a bucket-pruned lookup — bucket id is a
+groupable key, so the same pattern shards across executors with no driver
+state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 4   # planes per table -> 16 buckets/table
+N_TABLES = 4   # independent hash tables; candidates = union over tables
+
+
+def hyperplanes(dim: int = DIM, n_planes: int = N_PLANES,
+                n_tables: int = N_TABLES) -> list[list[list[float]]]:
+    """Deterministic +/-1 hyperplanes from md5 bits, per table —
+    reproducible in any engine (embedded as literals in oracle SQL).
+    Returns [table][plane][dim]."""
+    tables = []
+    for t in range(n_tables):
+        planes = []
+        for j in range(n_planes):
+            row = []
+            for i in range(dim):
+                h = hashlib.md5(f"plane{t}_{j}_{i}".encode()).hexdigest()
+                row.append(1.0 if int(h[0], 16) < 8 else -1.0)
+            planes.append(row)
+        tables.append(planes)
+    return tables
+
+
+def _cos(a, b):
+    """Cosine of two array columns, float64, sequential fold order."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0),
+                            lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def cosine_topk(embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2),
+                k: int = 10) -> DataFrame:
+    """Exact cosine top-k of every vector vs each query vector (excluding
+    self). Output: (query_vec_id, rank, vec_id, cos). Rank on rounded cosine
+    for cross-engine determinism; ties by vec_id."""
+    from pyspark.sql import Window
+    q = (embeddings.where(F.col("vec_id").isin(list(query_ids)))
+         .select(F.col("vec_id").alias("query_vec_id"),
+                 F.col("embedding").alias("q_emb")))
+    joined = embeddings.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_vec_id"))
+    scored = joined.select(
+        "query_vec_id", "vec_id",
+        F.round(_cos(F.col("embedding"), F.col("q_emb")), 6).alias("cos"))
+    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos").desc(),
+                                                   F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_vec_id", "rank", "vec_id", "cos"))
+
+
+def lsh_buckets(embeddings: DataFrame,
+                tables: list[list[list[float]]] | None = None) -> DataFrame:
+    """(vec_id, embedding, t, bucket): one sign-LSH bucket per hash table.
+    bit j of a bucket = sign(round(dot(v, plane_tj), 6)) >= 0; rounding
+    before sign keeps float32-input dot products engine-agnostic."""
+    tables = tables or hyperplanes()
+    entries = []
+    for t, planes in enumerate(tables):
+        bucket = F.lit(0).cast("long")
+        for j, plane in enumerate(planes):
+            lit = F.array(*[F.lit(x) for x in plane])
+            dot = F.round(F.aggregate(
+                F.zip_with(F.col("embedding"), lit,
+                           lambda x, y: x.cast("double") * y),
+                F.lit(0.0), lambda acc, v: acc + v), 6)
+            bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("bucket")))
+    return (embeddings
+            .select("vec_id", "embedding",
+                    F.explode(F.array(*entries)).alias("tb"))
+            .select("vec_id", "embedding", F.col("tb.t").alias("t"),
+                    F.col("tb.bucket").alias("bucket")))
+
+
+def lsh_ann_topk(embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2),
+                 k: int = 10) -> DataFrame:
+    """Approximate top-k: exact cosine restricted to candidates sharing ANY
+    hash table's bucket with the query (multi-table union boosts recall).
+    Output: (query_vec_id, rank, vec_id, cos)."""
+    from pyspark.sql import Window
+    bucketed = lsh_buckets(embeddings)
+    q = (bucketed.where(F.col("vec_id").isin(list(query_ids)))
+         .select(F.col("vec_id").alias("query_vec_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.col("t").alias("q_t"), F.col("bucket").alias("q_bucket")))
+    cands = (bucketed.join(F.broadcast(q),
+                           (F.col("t") == F.col("q_t"))
+                           & (F.col("bucket") == F.col("q_bucket"))
+                           & (F.col("vec_id") != F.col("query_vec_id")))
+             .select("query_vec_id", "vec_id", "embedding", "q_emb")
+             .dropDuplicates(["query_vec_id", "vec_id"]))
+    scored = cands.select(
+        "query_vec_id", "vec_id",
+        F.round(_cos(F.col("embedding"), F.col("q_emb")), 6).alias("cos"))
+    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos").desc(),
+                                                   F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_vec_id", "rank", "vec_id", "cos"))
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame,
+                             threshold: float = 0.4) -> DataFrame:
+    """(vec_a, vec_b, cos): brute-force cosine near-duplicate pairs.
+    The LSH-bucketed variant (join on bucket instead of crossJoin) is the
+    scale path; brute force is the oracle-checkable baseline."""
+    a = embeddings.select(F.col("vec_id").alias("vec_a"),
+                          F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"),
+                          F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
+    return (pairs.select("vec_a", "vec_b",
+                         F.round(_cos(F.col("ea"), F.col("eb")), 6).alias("cos"))
+            .where(F.col("cos") >= threshold))

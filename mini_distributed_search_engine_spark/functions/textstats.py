@@ -1,0 +1,84 @@
+"""Text-analysis operators: language ID, quality scoring, fingerprinting.
+
+All JVM-side (codegen'd expressions), all DuckDB-oracle-able. Token counting
+lives in `operators/flame.py::mappartitions_token_count` (doubles as the
+mapInPandas operator demo).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .analyzer import normalize_text
+from .dedup import word_shingles
+
+# tiny per-language function-word lists for the heuristic voter
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "you", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "ich"),
+    "fr": ("le", "la", "les", "et", "est", "une", "je", "que", "pas"),
+    "es": ("el", "la", "los", "y", "es", "una", "que", "no", "por"),
+}
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, tok) exploded base for the ops below."""
+    return (docs.select(F.col(id_col).alias("doc_id"),
+                        F.split(normalize_text(F.col(text_col)), r"\s+").alias("toks"))
+            .select("doc_id", F.size("toks").alias("n_tokens"),
+                    F.explode("toks").alias("tok"))
+            .where(F.col("tok") != ""))
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, hits): function-word voting; ties broken by lang
+    name ascending; zero hits -> 'und'."""
+    toks = token_stats(docs, id_col, text_col)
+    votes = None
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        v = (toks.where(F.col("tok").isin(*markers))
+             .groupBy("doc_id")
+             .agg(F.count("*").cast("long").alias("hits"))
+             .withColumn("lang_pred", F.lit(lang)))
+        votes = v if votes is None else votes.unionByName(v)
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(),
+                                             F.col("lang_pred").asc())
+    best = (votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).drop("rn"))
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    return (ids.join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+                    F.coalesce("hits", F.lit(0)).cast("long").alias("hits")))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, uniq_ratio, mean_tok_len, quality): simple
+    length/diversity-based quality heuristic, deterministic and rounded."""
+    toks = token_stats(docs, id_col, text_col)
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_uniq"),
+        F.avg(F.length("tok")).alias("mean_len"))
+    return agg.select(
+        "doc_id", "n_tokens",
+        F.round(F.col("n_uniq") / F.col("n_tokens"), 6).alias("uniq_ratio"),
+        F.round(F.col("mean_len"), 6).alias("mean_tok_len"),
+        F.round(F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+                * (F.col("n_uniq") / F.col("n_tokens")), 6).alias("quality"))
+
+
+def doc_fingerprint(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint): winnowing-style content fingerprint = the
+    lexicographic min of the doc's k-gram shingle md5s. Identical prose
+    re-orderings differ; shared passages collide — the cheap first-pass
+    near-dup key."""
+    sh = word_shingles(docs, k, id_col, text_col)
+    return (sh.withColumn("h", F.md5("shingle"))
+            .groupBy("doc_id").agg(F.min("h").alias("fingerprint")))

@@ -1,0 +1,231 @@
+"""DuckDB oracles for the training-data-pipeline operators
+(dedup / similarity / text analysis / multimodal metadata).
+
+Cross-engine portability contracts (mirrored by functions/dedup.py etc.):
+  * md5 hex is identical in Spark and DuckDB.
+  * 32-bit hash: Spark conv(substr(md5(x),1,8),16,10) == DuckDB
+    ('0x'||substr(md5(x),1,8))::BIGINT.
+  * cosine/dot sums are rounded to 6dp BEFORE any rank/sign decision.
+  * LSH hyperplanes are +/-1 literals generated in Python from md5 bits and
+    embedded in both plans.
+"""
+
+from __future__ import annotations
+
+from .functions.dedup import BANDS, NUM_HASHES, SIMHASH_BITS
+from .functions.similarity import hyperplanes
+from .functions.textstats import LANG_MARKERS
+
+_NORM = ("string_split_regex(trim(regexp_replace(regexp_replace(lower(text),"
+         "'<[^>]+>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g')), '\\s+')")
+
+
+def _toks_cte(src: str = "documents") -> str:
+    return f"""
+toks AS (
+  SELECT doc_id, unnest({_NORM}) AS tok FROM {src}),
+toksf AS (SELECT doc_id, tok FROM toks WHERE tok <> '')"""
+
+
+def _shingles_cte(k: int = 3, src: str = "documents") -> str:
+    return f"""
+base AS (SELECT doc_id, {_NORM} AS tk FROM {src}),
+pos AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - {k} + 1)) AS i
+        FROM base WHERE len(tk) >= {k}),
+sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+{k - 1}], ' ') AS shingle
+       FROM pos)"""
+
+
+def sql_dedup_exact() -> str:
+    return """
+WITH keyed AS (SELECT doc_id, md5(text) AS h FROM documents),
+g AS (SELECT h, min(doc_id) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM keyed GROUP BY h)
+SELECT doc_id, canonical_id, group_size FROM keyed JOIN g USING (h)"""
+
+
+def sql_minhash_signatures(k: int = 3, num_hashes: int = NUM_HASHES) -> str:
+    return f"""
+WITH {_shingles_cte(k)},
+seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed)
+SELECT doc_id, CAST(seed AS INT) AS seed,
+       min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+FROM sh CROSS JOIN seeds GROUP BY doc_id, seed"""
+
+
+def sql_lsh_candidates(k: int = 3, num_hashes: int = NUM_HASHES,
+                       bands: int = BANDS) -> str:
+    rows = num_hashes // bands
+    return f"""
+WITH {_shingles_cte(k)},
+seeds AS (SELECT unnest(generate_series(0, {num_hashes - 1})) AS seed),
+mh AS (SELECT doc_id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+       FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+banded AS (
+  SELECT doc_id, CAST(seed // {rows} AS INT) AS band,
+         md5(string_agg(seed::VARCHAR || ':' || minhash, ','
+             ORDER BY seed::VARCHAR || ':' || minhash)) AS bucket
+  FROM mh GROUP BY doc_id, band)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
+
+
+def sql_ngram_jaccard(k: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+WITH {_shingles_cte(k)},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= {threshold}"""
+
+
+def sql_simhash(bits: int = SIMHASH_BITS) -> str:
+    return f"""
+WITH {_toks_cte()},
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toksf GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tf),
+bitsum AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS j)
+  GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id"""
+
+
+_COS_CTE = """
+un AS (SELECT query_vec_id, vec_id,
+              unnest(embedding)::DOUBLE AS x, unnest(qe)::DOUBLE AS y
+       FROM pairs),
+s AS (SELECT query_vec_id, vec_id, sum(x * y) AS dot,
+             sum(x * x) AS na, sum(y * y) AS nb
+      FROM un GROUP BY 1, 2),
+sc AS (SELECT query_vec_id, vec_id,
+              round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos FROM s)"""
+
+
+def sql_cosine_topk(query_ids=(0, 1, 2), k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_vec_id, embedding AS qe
+           FROM embeddings WHERE vec_id IN ({ids})),
+pairs AS (SELECT q.query_vec_id, e.vec_id, e.embedding, q.qe
+          FROM embeddings e CROSS JOIN q
+          WHERE e.vec_id <> q.query_vec_id),
+{_COS_CTE},
+r AS (SELECT query_vec_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_vec_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM sc)
+SELECT query_vec_id, rank, vec_id, cos FROM r WHERE rank <= {k}"""
+
+
+def _planes_values() -> str:
+    rows = []
+    for t, planes in enumerate(hyperplanes()):
+        for j, plane in enumerate(planes):
+            for i, w in enumerate(plane, start=1):
+                rows.append(f"({t}, {j}, {i}, {w})")
+    return ", ".join(rows)
+
+
+def sql_lsh_ann_topk(query_ids=(0, 1, 2), k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH planes(t, j, i, w) AS (VALUES {_planes_values()}),
+un0 AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+dots AS (SELECT vec_id, t, j, round(sum(x * w), 6) AS dot
+         FROM un0 JOIN planes USING (i) GROUP BY 1, 2, 3),
+bucketed AS (SELECT vec_id, t,
+                    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
+                             ELSE 0 END) AS BIGINT) AS bucket
+             FROM dots GROUP BY 1, 2),
+q AS (SELECT b.vec_id AS query_vec_id, e.embedding AS qe,
+             b.t AS q_t, b.bucket AS q_bucket
+      FROM bucketed b JOIN embeddings e USING (vec_id)
+      WHERE b.vec_id IN ({ids})),
+pairs AS (SELECT DISTINCT ON (q.query_vec_id, e.vec_id)
+                 q.query_vec_id, e.vec_id, e.embedding, q.qe
+          FROM embeddings e
+          JOIN bucketed be ON be.vec_id = e.vec_id
+          JOIN q ON be.t = q.q_t AND be.bucket = q.q_bucket
+          WHERE e.vec_id <> q.query_vec_id),
+{_COS_CTE},
+r AS (SELECT query_vec_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_vec_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM sc)
+SELECT query_vec_id, rank, vec_id, cos FROM r WHERE rank <= {k}"""
+
+
+def sql_embedding_near_dup(threshold: float = 0.4) -> str:
+    return f"""
+WITH pairs AS (SELECT a.vec_id AS query_vec_id, b.vec_id AS vec_id,
+                      a.embedding AS qe, b.embedding
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+{_COS_CTE}
+SELECT query_vec_id AS vec_a, vec_id AS vec_b, cos
+FROM sc WHERE cos >= {threshold}"""
+
+
+def sql_lang_id() -> str:
+    unions = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ", ".join(f"'{m}'" for m in markers)
+        unions.append(
+            f"SELECT doc_id, '{lang}' AS lang_pred, CAST(count(*) AS BIGINT) AS hits "
+            f"FROM toksf WHERE tok IN ({lst}) GROUP BY doc_id")
+    votes = " UNION ALL ".join(unions)
+    return f"""
+WITH {_toks_cte()},
+votes AS ({votes}),
+best AS (SELECT doc_id, lang_pred, hits,
+                row_number() OVER (PARTITION BY doc_id
+                     ORDER BY hits DESC, lang_pred ASC) AS rn
+         FROM votes)
+SELECT d.doc_id,
+       coalesce(b.lang_pred, 'und') AS lang_pred,
+       CAST(coalesce(b.hits, 0) AS BIGINT) AS hits
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""
+
+
+def sql_quality_score() -> str:
+    return f"""
+WITH {_toks_cte()},
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_uniq,
+               avg(length(tok)) AS mean_len
+        FROM toksf GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(n_uniq / n_tokens, 6) AS uniq_ratio,
+       round(mean_len, 6) AS mean_tok_len,
+       round(least(n_tokens / 50.0, 1.0) * (n_uniq / n_tokens), 6) AS quality
+FROM agg"""
+
+
+def sql_doc_fingerprint(k: int = 3) -> str:
+    return f"""
+WITH {_shingles_cte(k)}
+SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id"""
+
+
+def sql_multimodal_meta() -> str:
+    return """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5,
+       CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1 AS INT) AS width,
+       CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1 AS INT) AS height
+FROM documents"""

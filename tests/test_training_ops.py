@@ -1,0 +1,74 @@
+"""Training-data ops: dedup finds planted duplicates; ANN recall vs brute
+force; multimodal plumbing round-trips."""
+
+from __future__ import annotations
+
+import pytest
+
+from mini_distributed_search_engine_spark.functions import dedup as D
+from mini_distributed_search_engine_spark.functions import similarity as S
+from mini_distributed_search_engine_spark.functions.multimodal import (
+    attach_fake_media, decode_media, extract_media_meta)
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),      # exact dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta NOVEL"),      # near dup of 0
+        (3, "completely different words entirely here now folks"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta"),      # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, dup_docs):
+    got = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+           for r in D.exact_dedup(dup_docs).collect()}
+    assert got[0] == (0, 3) and got[1] == (0, 3) and got[4] == (0, 3)
+    assert got[2] == (2, 1) and got[3] == (3, 1)
+
+
+def test_minhash_lsh_finds_near_dups(spark, dup_docs):
+    sigs = D.minhash_signatures(dup_docs)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert (0, 2) in pairs  # near dup shares most shingles -> same band
+    assert not any(3 in p for p in pairs)
+
+
+def test_ngram_jaccard_values(spark, dup_docs):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(dup_docs, threshold=0.3).collect()}
+    assert got[(0, 1)] == 1.0
+    assert 0.5 <= got[(0, 2)] < 1.0
+
+
+def test_simhash_similarity(spark, dup_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(dup_docs).collect()}
+    assert sh[0] == sh[1] == sh[4]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_lsh_ann_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {(r["query_vec_id"], r["vec_id"])
+             for r in S.cosine_topk(emb, k=10).collect()}
+    ann = {(r["query_vec_id"], r["vec_id"])
+           for r in S.lsh_ann_topk(emb, k=10).collect()}
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.3, recall  # 4-plane sign LSH, small corpus
+
+
+def test_multimodal_plumbing(spark, dup_docs):
+    media = attach_fake_media(dup_docs)
+    meta = {r["doc_id"]: r for r in extract_media_meta(media).collect()}
+    assert meta[0]["n_bytes"] == len(dup_docs.collect()[0]["text"].encode())
+    assert meta[0]["content_md5"] == meta[1]["content_md5"]
+    assert 1 <= meta[0]["width"] <= 1920 and 1 <= meta[0]["height"] <= 1080
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image/png", fake=False)
