@@ -30,7 +30,7 @@ from mini_distributed_search_engine_spark.functions.multimodal import (
 from mini_distributed_search_engine_spark.index.build import build_index
 from mini_distributed_search_engine_spark.index.packed import (
     build_packed_postings, merge_packed, unpack_to_rows)
-from mini_distributed_search_engine_spark.operators import flame
+from mini_distributed_search_engine_spark.operators import analytics, flame
 from mini_distributed_search_engine_spark.query.bm25 import bm25_topk
 from mini_distributed_search_engine_spark.query.wand import wand_topk
 from mini_distributed_search_engine_spark.sources.transcripts import (
@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: TS.doc_fingerprint(_docs(s, d)),
         "multimodal_meta": lambda s, d: extract_media_meta(
             attach_fake_media(_docs(s, d))),
+        # analytics beyond the reference's inventory (window/rollup/sessionize)
+        **analytics.queries(),
     }
 
 
@@ -232,4 +234,5 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": OM.sql_quality_score(),
         "doc_fingerprint": OM.sql_doc_fingerprint(),
         "multimodal_meta": OM.sql_multimodal_meta(),
+        **analytics.oracles(),
     }

@@ -63,7 +63,12 @@ def main() -> None:
     n_convs = max(1, n_turns // TURNS_PER_CONV)
 
     spark = get_spark("mdse-bench", cores=cpus, shuffle_partitions=cpus)
-    out_dir = Path(__file__).resolve().parent / ".data" / f"bench_index_{cpus}"
+    # index output on tmpfs when available: the sandbox's single shared disk
+    # would serialize the write across any level of parallelism, which a
+    # real cluster's per-executor disks do not (see session.py note)
+    base = Path("/dev/shm/mdse_bench") if Path("/dev/shm").is_dir() \
+        else Path(__file__).resolve().parent / ".data"
+    out_dir = base / f"bench_index_{cpus}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
     # ---- warmup (untimed): JIT/codegen + Python-worker spin-up dominate the

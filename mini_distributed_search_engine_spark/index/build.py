@@ -42,8 +42,13 @@ def with_stable_doc_ids(transcripts: DataFrame,
     """
     spark = transcripts.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    # Persist the input first: repartitionByRange SAMPLES its child to pick
+    # bounds, so an unpersisted source would be fully recomputed twice
+    # (sample pass + shuffle write) — expensive when the source is a Python
+    # synthesizer or a remote scan.
+    src = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
     ranged = (
-        transcripts.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+        src.repartitionByRange(num_partitions, "conv_id", "turn_idx")
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -26,11 +26,23 @@ def get_spark(app_name: str = "mdse-spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # heap scales with cores: local[N] stands in for an N-executor
+        # cluster, whose total memory grows with N (fair for the N-vs-4N
+        # scaling comparison and keeps GC pressure per thread constant)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(8, int(cores * 1.5))}g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # Shuffle spill dir: tmpfs when available. The sandbox has ONE cloud
+        # disk shared by all threads — shuffle on it serializes every level
+        # of parallelism (a real N-executor cluster has N local disks, so
+        # I/O bandwidth scales with N). tmpfs restores that proportionality.
+        .config("spark.local.dir",
+                os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                               "/dev/shm/mdse_spark" if os.path.isdir("/dev/shm")
+                               else "/tmp"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -165,7 +165,8 @@ def synthesize_transcripts(spark: SparkSession, n_convs: int,
     locally (no driver-resident data), so the same generator scales to bench
     sizes. Determinism: per-conv seed = seed * 1e9 + conv index.
     """
-    partitions = partitions or max(8, math.ceil(n_convs / 50_000))
+    partitions = partitions or max(2 * spark.sparkContext.defaultParallelism,
+                                   math.ceil(n_convs / 50_000))
     ranges = spark.range(0, n_convs, 1, partitions).toDF("conv")
     vocab = np.array(_VOCAB_BASE + _STRESS)
     probs = _zipf_probs(len(vocab))

