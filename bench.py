@@ -28,7 +28,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pyspark.sql import functions as F
 
 from mini_distributed_search_engine_spark.index.build import build_index, write_index
+from mini_distributed_search_engine_spark.index.packed import (
+    build_packed_postings, merge_packed)
 from mini_distributed_search_engine_spark.query.bm25 import Query, bm25_topk
+from mini_distributed_search_engine_spark.query.wand import wand_topk
 from mini_distributed_search_engine_spark.session import get_spark
 from mini_distributed_search_engine_spark.sources.transcripts import (
     TURNS_PER_CONV, synthesize_transcripts)
@@ -86,20 +89,39 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     n_actual = n_convs * TURNS_PER_CONV
 
-    # ---- query latency (warm: cached postings, per-query timings) ----
+    # ---- pack + merge (timed separately): varint segments + one merge level
+    tp = time.perf_counter()
+    avgdl = float(spark.read.parquet(str(out_dir / "doc_stats")).collect()[0]["avgdl"])
+    tf_disk = spark.read.parquet(str(out_dir / "term_doc_tf"))
+    packed = build_packed_postings(tf_disk, avgdl,
+                                   shard_span=max(4096, n_actual // (4 * cpus)))
+    merge_packed(packed, level_factor=4).write.mode("overwrite").parquet(
+        str(out_dir / "packed"))
+    pack_sec = time.perf_counter() - tp
+
+    # ---- query latency (warm caches, per-query timings, both plans) ----
     tf = spark.read.parquet(str(out_dir / "term_doc_tf")).cache()
     tf.count()
     term_stats = spark.read.parquet(str(out_dir / "term_stats")).cache()
     term_stats.count()
     doc_stats = spark.read.parquet(str(out_dir / "doc_stats"))
+    packed_r = spark.read.parquet(str(out_dir / "packed")).cache()
+    packed_r.count()
     per_query: dict[str, float] = {}
+    per_query_wand: dict[str, float] = {}
     for q in BENCH_QUERIES:
         t = time.perf_counter()
         bm25_topk(spark, tf, term_stats, doc_stats, queries=(q,)).collect()
         per_query[q.query_id] = round(time.perf_counter() - t, 4)
+        t = time.perf_counter()
+        wand_topk(spark, packed_r, doc_stats, queries=(q,)).collect()
+        per_query_wand[q.query_id] = round(time.perf_counter() - t, 4)
     lat = sorted(per_query.values())
     p50 = lat[len(lat) // 2]
-    total = round(build_sec + sum(per_query.values()), 3)
+    lat_w = sorted(per_query_wand.values())
+    p50_w = lat_w[len(lat_w) // 2]
+    total = round(build_sec + pack_sec + sum(per_query.values())
+                  + sum(per_query_wand.values()), 3)
 
     print(json.dumps({
         "metric": "index_build_plus_query_wall",
@@ -109,8 +131,11 @@ def main() -> None:
         "sf": sf,
         "turns": n_actual,
         "build_sec": round(build_sec, 3),
+        "pack_sec": round(pack_sec, 3),
         "turns_per_sec": round(n_actual / build_sec, 1),
         "query_p50_sec": p50,
+        "queries_wand": per_query_wand,
+        "query_wand_p50_sec": p50_w,
         "cpus": cpus,
     }))
 

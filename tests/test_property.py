@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis): codec round-trips and splice/merge
+equivalence hold for arbitrary inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mini_distributed_search_engine_spark.functions.analyzer import (
+    MAX_WORD_LEN, STOP_WORDS, analyze)
+from mini_distributed_search_engine_spark.index.codec import (
+    decode_postings, encode_postings, splice_gap_streams, varint_decode,
+    varint_encode)
+
+uint64s = st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300)
+
+
+@settings(max_examples=200, deadline=None)
+@given(uint64s)
+def test_varint_roundtrip(values):
+    arr = np.array(values, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr)), arr)
+
+
+posting_sets = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=2**40),
+              st.integers(min_value=1, max_value=1000),
+              st.integers(min_value=1, max_value=5000)),
+    min_size=1, max_size=400, unique_by=lambda t: t[0])
+
+
+@settings(max_examples=100, deadline=None)
+@given(posting_sets, st.floats(min_value=1.0, max_value=500.0))
+def test_posting_roundtrip(postings, avgdl):
+    docs = np.array([p[0] for p in postings], dtype=np.int64)
+    tfs = np.array([p[1] for p in postings], dtype=np.int64)
+    dls = np.array([p[2] for p in postings], dtype=np.int64)
+    enc = encode_postings(docs, tfs, dls, avgdl)
+    dec = decode_postings(enc["doc_gaps"], enc["tfs"], enc["dls"])
+    order = np.argsort(docs, kind="stable")
+    assert np.array_equal(dec.doc_ids, docs[order])
+    assert np.array_equal(dec.tfs, tfs[order])
+    assert np.array_equal(dec.dls, dls[order])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40),
+                min_size=2, max_size=400, unique=True),
+       st.integers(min_value=1, max_value=399))
+def test_splice_equals_full_encode(doc_ids, split_at):
+    docs = np.array(sorted(doc_ids), dtype=np.int64)
+    split_at = min(split_at, len(docs) - 1)
+    ones = np.ones(len(docs), dtype=np.int64)
+    full = encode_postings(docs, ones, ones, 10.0)
+    a = encode_postings(docs[:split_at], ones[:split_at], ones[:split_at], 10.0)
+    b = encode_postings(docs[split_at:], ones[split_at:], ones[split_at:], 10.0)
+    spliced = splice_gap_streams(a["first_doc"], a["doc_gaps"],
+                                 int(docs[split_at - 1]),
+                                 b["first_doc"], b["doc_gaps"])
+    assert spliced == full["doc_gaps"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=200))
+def test_analyzer_invariants(text):
+    terms = analyze(text)
+    for t in terms:
+        assert t not in STOP_WORDS
+        assert 1 <= len(t) <= MAX_WORD_LEN
+        assert t == t.lower()
+        assert not any(c.isdigit() for c in t)
