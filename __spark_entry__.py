@@ -35,6 +35,7 @@ from mini_distributed_search_engine_spark.query.bm25 import bm25_topk
 from mini_distributed_search_engine_spark.query.wand import wand_topk
 from mini_distributed_search_engine_spark.sources.transcripts import (
     transcripts_from_documents)
+from mini_distributed_search_engine_spark.streaming.events import windowed_counts
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -154,6 +155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             attach_fake_media(_docs(s, d))),
         # analytics beyond the reference's inventory (window/rollup/sessionize)
         **analytics.queries(),
+        # streaming op run in batch mode (identical plan; stream parity is
+        # pytest-enforced in tests/test_streaming.py)
+        "events_windowed_counts": lambda s, d: windowed_counts(
+            s.read.parquet(f"{d}/events.parquet")),
     }
 
 
@@ -235,4 +240,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": OM.sql_doc_fingerprint(),
         "multimodal_meta": OM.sql_multimodal_meta(),
         **analytics.oracles(),
+        "events_windowed_counts": (
+            "SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start_epoch, "
+            "event_type, CAST(count(*) AS BIGINT) AS cnt, "
+            "round(sum(value), 4) AS total_value "
+            "FROM events GROUP BY 1, 2"),
     }
