@@ -103,6 +103,37 @@ def _bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(spark, packed, idx.doc_stats)
 
 
+def _bm25_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Searcher lifecycle parity (SURVEY §2.2 'metadata hydrate',
+    Searcher.java:253-273): top-k docIDs joined back to the doc store for
+    display metadata."""
+    idx = _index(spark, sf_dir, stem=True)
+    topk = bm25_topk(spark, idx.term_doc_tf, idx.term_stats, idx.doc_stats,
+                     stem=True)
+    docs = idx.docs.select("doc_id", "conv_id", "turn_idx", "role",
+                           F.substring("text", 1, 80).alias("snippet"))
+    return topk.join(docs, "doc_id").select(
+        "query_id", "rank", "doc_id", "score", "conv_id", "turn_idx",
+        "role", "snippet")
+
+
+def _term_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete surface (Searcher.java:319-337 '/words' + client prefix
+    filter): terms by document frequency under a prefix."""
+    idx = _index(spark, sf_dir, stem=True)
+    return (idx.term_stats.where(F.col("term").startswith("s"))
+            .orderBy(F.col("df").desc(), F.col("term").asc()).limit(20))
+
+
+def _groupby_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as flame_groupby via the explicit salted two-phase plan
+    (operators/skew.py) — oracle identical to the unsalted query."""
+    from mini_distributed_search_engine_spark.operators.skew import salted_agg
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return salted_agg(li, ["l_returnflag", "l_linestatus"],
+                      {"cnt": ("count", "*"), "sum_qty": ("sum", "l_quantity")})
+
+
 def _packed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode to delta+varint segments, merge one level, decode back —
     must equal the raw (term, doc_id, tf, dl) table exactly."""
@@ -124,7 +155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _bm25(stem=True),
         "bm25_topk_nostem": _bm25(stem=False),
         "bm25_topk_wand": _bm25_wand,
+        "bm25_topk_hydrated": _bm25_hydrated,
+        "term_suggestions": _term_suggestions,
         "packed_roundtrip": _packed_roundtrip,
+        "flame_groupby_salted": _groupby_salted,
         # Flame operator analogues (SURVEY.md §2.1)
         "flame_scan_filter_project": flame.scan_filter_project,
         "flame_wordcount": flame.wordcount,
@@ -181,6 +215,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": O.sql_bm25_topk(stem=True),
         "bm25_topk_nostem": O.sql_bm25_topk(stem=False),
         "bm25_topk_wand": O.sql_bm25_topk(stem=True),
+        "bm25_topk_hydrated": O.sql_bm25_topk_hydrated(stem=True),
+        "term_suggestions": O.sql_term_suggestions(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "flame_scan_filter_project": (
             "SELECT l_orderkey, l_partkey, "
@@ -202,6 +238,11 @@ def oracle_sql() -> dict[str, str]:
             "min(l_extendedprice) AS min_price, CAST(count(*) AS BIGINT) AS cnt "
             "FROM lineitem"),
         "flame_groupby": (
+            "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, "
+            "sum(l_quantity) AS sum_qty FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"),
+        # the salted physical plan must produce the identical logical result
+        "flame_groupby_salted": (
             "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, "
             "sum(l_quantity) AS sum_qty FROM lineitem "
             "GROUP BY l_returnflag, l_linestatus"),

@@ -89,6 +89,16 @@ def main() -> None:
     build_sec = time.perf_counter() - t0
     n_actual = n_convs * TURNS_PER_CONV
 
+    if os.environ.get("MDSE_BENCH_BUILD_ONLY"):
+        print(json.dumps({
+            "metric": "index_build_wall", "value": round(build_sec, 3),
+            "unit": "sec", "queries": {}, "sf": sf, "turns": n_actual,
+            "build_sec": round(build_sec, 3),
+            "turns_per_sec": round(n_actual / build_sec, 1),
+            "query_p50_sec": None, "cpus": cpus,
+        }))
+        return
+
     # ---- pack + merge (timed separately): varint segments + one merge level
     tp = time.perf_counter()
     avgdl = float(spark.read.parquet(str(out_dir / "doc_stats")).collect()[0]["avgdl"])

@@ -128,6 +128,25 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
 FROM docs d LEFT JOIN dl USING (doc_id)"""
 
 
+def sql_bm25_topk_hydrated(stem: bool = True) -> str:
+    """BM25 top-k joined back to the doc store (Searcher.java:253-273)."""
+    inner = sql_bm25_topk(stem=stem)
+    docs_cte = analyzed_terms_ctes(stem).split("rawtok AS")[0].rstrip().rstrip(",")
+    return f"""{docs_cte}
+SELECT r.query_id, r.rank, r.doc_id, r.score,
+       d.conv_id, d.turn_idx, d.role, substr(d.text, 1, 80) AS snippet
+FROM ({inner}) r JOIN docs d ON d.doc_id = r.doc_id"""
+
+
+def sql_term_suggestions(stem: bool = True, prefix: str = "s",
+                         limit: int = 20) -> str:
+    return analyzed_terms_ctes(stem) + f"""
+, tf AS (SELECT term, doc_id FROM sel GROUP BY term, doc_id),
+ts AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT term, df FROM ts WHERE term LIKE '{prefix}%'
+ORDER BY df DESC, term ASC LIMIT {limit}"""
+
+
 def qterms_values(queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
                   stem: bool = True) -> str:
     rows = analyzed_query_terms(queries, stem=stem)

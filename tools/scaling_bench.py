@@ -25,7 +25,7 @@ def run(cpus: int, turns: int, repeats: int = 2) -> dict:
     best = None
     for _ in range(repeats):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   MDSE_BENCH_TURNS=str(turns))
+                   MDSE_BENCH_TURNS=str(turns), MDSE_BENCH_BUILD_ONLY="1")
         out = subprocess.run([sys.executable, str(ROOT / "bench.py")], env=env,
                              capture_output=True, text=True, timeout=1800)
         r = json.loads(out.stdout.strip().splitlines()[-1])
