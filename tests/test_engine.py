@@ -1,0 +1,62 @@
+"""SearchEngine end-to-end over a StagedIndexBuild root, packed vs
+exhaustive parity, and the skew bound on packed segment sizes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mini_distributed_search_engine_spark.index.build import build_index
+from mini_distributed_search_engine_spark.index.packed import build_packed_postings
+from mini_distributed_search_engine_spark.plans.pipeline import StagedIndexBuild
+from mini_distributed_search_engine_spark.query.bm25 import Query
+from mini_distributed_search_engine_spark.query.engine import SearchEngine
+from mini_distributed_search_engine_spark.sources.transcripts import (
+    synthesize_transcripts_pdf)
+
+
+@pytest.fixture(scope="module")
+def index_root(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("engine_idx")
+    tr = spark.createDataFrame(synthesize_transcripts_pdf(50, seed=21))
+    StagedIndexBuild(spark, str(root), run_id="eng").run(
+        tr, shard_span=64, merge_factor=4)
+    return str(root)
+
+
+def test_engine_packed_matches_exhaustive(spark, index_root):
+    qs = (Query("a", "apple banana"), Query("b", "spark index"),
+          Query("c", "running search", k=25))
+    packed_eng = SearchEngine(spark, index_root, use_packed=True)
+    exact_eng = SearchEngine(spark, index_root, use_packed=False)
+    a = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+               for r in packed_eng.search_batch(qs).collect())
+    b = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+               for r in exact_eng.search_batch(qs).collect())
+    assert a == b and len(a) > 0
+
+
+def test_engine_hydrated_search(spark, index_root):
+    eng = SearchEngine(spark, index_root)
+    rows = eng.search("apple", k=5)
+    assert rows and rows[0]["rank"] == 1
+    assert all(r["conv_id"].startswith("conv") and len(r["snippet"]) > 0
+               for r in rows)
+
+
+def test_packed_segments_bounded_under_skew(spark):
+    """Doc-range sharding must bound every (term, shard) group even when one
+    term owns ~40% of all postings (the hot role-token fixture)."""
+    tr = spark.createDataFrame(
+        synthesize_transcripts_pdf(60, seed=3, hot_token_frac=0.4))
+    idx = build_index(tr)
+    avgdl = idx.doc_stats.collect()[0]["avgdl"]
+    span = 32
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=span)
+    mx = packed.agg(F.max("df")).collect()[0][0]
+    assert mx <= span
+    # hot terms exist and are split across multiple shards
+    hot = (packed.groupBy("term").agg(F.count("*").alias("n_shards"),
+                                      F.sum("df").alias("gdf"))
+           .orderBy(F.col("gdf").desc()).first())
+    assert hot["n_shards"] > 1
