@@ -193,7 +193,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-enforced in tests/test_streaming.py)
         "events_windowed_counts": lambda s, d: windowed_counts(
             s.read.parquet(f"{d}/events.parquet")),
+        # semi-structured JSON column extraction (props is a JSON string)
+        "events_json_agg": _events_json_agg,
     }
+
+
+def _events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (get_json_object) + aggregate per event_type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count("k").cast("long").alias("n_with_k"),
+                 F.round(F.avg("k"), 6).alias("avg_k"),
+                 F.max("k").alias("max_k")))
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,4 +299,10 @@ def oracle_sql() -> dict[str, str]:
             "event_type, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(value), 4) AS total_value "
             "FROM events GROUP BY 1, 2"),
+        "events_json_agg": (
+            "WITH e AS (SELECT event_type, "
+            "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
+            "SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k, "
+            "round(avg(k), 6) AS avg_k, max(k) AS max_k "
+            "FROM e GROUP BY event_type"),
     }
