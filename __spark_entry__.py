@@ -31,6 +31,8 @@ from mini_distributed_search_engine_spark.index.build import build_index
 from mini_distributed_search_engine_spark.index.packed import (
     build_packed_postings, merge_packed, unpack_to_rows)
 from mini_distributed_search_engine_spark.operators import analytics, flame
+from mini_distributed_search_engine_spark.operators.pagerank import (
+    pagerank_fixed_query, pagerank_fixed_sql)
 from mini_distributed_search_engine_spark.query.bm25 import bm25_topk
 from mini_distributed_search_engine_spark.query.wand import wand_topk
 from mini_distributed_search_engine_spark.sources.transcripts import (
@@ -195,6 +197,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             s.read.parquet(f"{d}/events.parquet")),
         # semi-structured JSON column extraction (props is a JSON string)
         "events_json_agg": _events_json_agg,
+        # reference's PageRank job (fixed 5 iterations for oracle parity;
+        # threshold-convergence mode golden-tested in tests/test_pagerank.py)
+        "pagerank_fixed": lambda s, d: pagerank_fixed_query(s, d, iters=5),
     }
 
 
@@ -305,4 +310,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(k) AS BIGINT) AS n_with_k, "
             "round(avg(k), 6) AS avg_k, max(k) AS max_k "
             "FROM e GROUP BY event_type"),
+        "pagerank_fixed": pagerank_fixed_sql(iters=5),
     }

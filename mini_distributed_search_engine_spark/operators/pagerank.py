@@ -1,0 +1,113 @@
+"""PageRank — the reference's second ranking signal, Spark-native.
+
+Reference semantics (`Integration/src/cis5550/jobs/PageRank.java`):
+  * node set = sources (rows of pt-url with adjacency; PageRank.java:39-52)
+  * init rank = 1.0 (:60-66)
+  * each node sends 0.85 * rank / n to each of its n children, plus a
+    0.0 self-contribution that keeps dangling nodes alive (:76-108)
+  * new rank = 0.15 + sum(contributions) (:134-140) — unnormalized, as in
+    the course slides
+  * converge when max |rank - prev| < threshold (:159-186)
+
+The north rule replaces the search-time PageRank blend with BM25 (the blend
+was a constant offset anyway — Searcher.java:214-218 hard-codes pr=0.15),
+but the job itself is part of the reference's operator inventory, so it is
+reproduced here: edge DataFrame, driver-side convergence loop, per-iteration
+persist to cut lineage growth. The golden three-node expectations from the
+reference's own test (HW9Test.java:235-240) are asserted in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+BASE = 0.15
+
+
+def _one_iteration(state: DataFrame, edges_deg: DataFrame) -> DataFrame:
+    contribs = (edges_deg.join(state, edges_deg.src == state.node)
+                .select(F.col("dst").alias("node"),
+                        (F.lit(DAMPING) * F.col("rank") / F.col("n")).alias("c"))
+                .groupBy("node").agg(F.sum("c").alias("inc")))
+    return (state.join(contribs, "node", "left")
+            .select("node",
+                    (F.lit(BASE) + F.coalesce("inc", F.lit(0.0))).alias("rank"),
+                    F.col("rank").alias("prev")))
+
+
+def pagerank(edges: DataFrame, threshold: float | None = None,
+             max_iter: int | None = None) -> DataFrame:
+    """(src, dst) edges -> (node, rank). Node set = distinct sources
+    (reference semantics). Stop on max|rank-prev| < threshold and/or after
+    max_iter iterations."""
+    edges = edges.select("src", "dst").distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("n"))
+    edges_deg = edges.join(deg, "src").persist()
+    state = (edges.select(F.col("src").alias("node")).distinct()
+             .withColumn("rank", F.lit(1.0))
+             .withColumn("prev", F.lit(1.0))
+             .localCheckpoint(eager=True))
+    it = 0
+    while True:
+        it += 1
+        # localCheckpoint (not persist): the iteration references state
+        # twice, so an uncheckpointed loop doubles the logical plan every
+        # pass — O(2^iters) analysis cost; checkpointing truncates lineage
+        state = _one_iteration(state, edges_deg).localCheckpoint(eager=True)
+        if threshold is not None:
+            delta = state.agg(
+                F.max(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
+            if delta < threshold:
+                break
+        if max_iter is not None and it >= max_iter:
+            break
+        if threshold is None and max_iter is None:
+            raise ValueError("need threshold and/or max_iter")
+    edges_deg.unpersist()
+    return state.select("node", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-able fixed-iteration variant over edges derived from documents
+# ---------------------------------------------------------------------------
+
+def derived_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic link graph over documents, SQL-derivable in
+    any engine: doc i links to (7i+1) mod N and (13i+3) mod N."""
+    n = docs.count()
+    a = docs.select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 7 + 1) % n).alias("dst"))
+    b = docs.select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 13 + 3) % n).alias("dst"))
+    return a.unionByName(b)
+
+
+def pagerank_fixed_query(spark, sf_dir: str, iters: int = 5) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranks = pagerank(derived_edges(docs), max_iter=iters)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def pagerank_fixed_sql(iters: int = 5) -> str:
+    """Unrolled ``iters`` PageRank levels as chained CTEs (DuckDB oracle)."""
+    sql = ["""
+WITH n_docs AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM n_docs) AS dst
+    FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM n_docs) FROM documents)),
+deg AS (SELECT src, count(*) AS n FROM edges GROUP BY src),
+r0 AS (SELECT DISTINCT src AS node, 1.0 AS rank FROM edges)"""]
+    for i in range(1, iters + 1):
+        sql.append(f""",
+c{i} AS (SELECT e.dst AS node, sum({DAMPING} * r.rank / d.n) AS inc
+        FROM edges e JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+r{i} AS (SELECT r.node, {BASE} + coalesce(c.inc, 0.0) AS rank
+        FROM r{i - 1} r LEFT JOIN c{i} c ON c.node = r.node)""")
+    sql.append(f"\nSELECT node, round(rank, 9) AS rank FROM r{iters}")
+    return "".join(sql)

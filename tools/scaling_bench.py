@@ -68,11 +68,12 @@ seed=42), identical code, two parallelism levels in separate JVMs
 Notes:
 * Build = full staged pipeline to parquet (stable docIDs, analyze+stem, TF,
   stats, term-clustered layout), untimed JIT warmup excluded.
-* local mode shares one JVM/driver; shuffle goes through local disk — both
-  effects penalize the 32-thread level relative to a real 4N-executor
-  cluster, so this efficiency is a conservative lower bound.
-* Queries are scheduling-floor-bound at this scale (~0.3 s/job in local
-  mode), not data-bound; p50 is reported for completeness.
+* Both levels share one JVM/driver and one machine's memory bandwidth;
+  a real 4N-executor cluster scales those with N, so this efficiency is a
+  conservative lower bound.
+* Scaling runs are build-only (MDSE_BENCH_BUILD_ONLY=1); query latency is
+  scheduling-floor-bound in local mode (~0.3 s/job) and reported by the
+  regular `python bench.py` run instead.
 """
     (ROOT / "BENCH.md").write_text(md)
     print("wrote BENCH.md")
