@@ -29,7 +29,8 @@ from .codec import BLOCK, decode_postings, encode_postings, splice_gap_streams, 
 PACKED_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
     T.StructField("shard_id", T.IntegerType(), False),
-    T.StructField("df", T.LongType(), False),
+    T.StructField("df", T.LongType(), False),        # segment-local
+    T.StructField("global_df", T.LongType(), False),  # term total (idf input)
     T.StructField("first_doc", T.LongType(), False),
     T.StructField("last_doc", T.LongType(), False),
     T.StructField("doc_gaps", T.BinaryType(), False),
@@ -59,7 +60,7 @@ def build_packed_postings(term_doc_tf: DataFrame, avgdl: float,
                               pdf["dl"].to_numpy(), avgdl)
         return pd.DataFrame([{
             "term": term, "shard_id": int(shard_id),
-            "df": enc["df"], "first_doc": enc["first_doc"],
+            "df": enc["df"], "global_df": 0, "first_doc": enc["first_doc"],
             "last_doc": int(enc["block_last_doc"][-1]) if enc["block_last_doc"] else 0,
             "doc_gaps": enc["doc_gaps"], "tfs": enc["tfs"], "dls": enc["dls"],
             "block_last_doc": enc["block_last_doc"],
@@ -67,8 +68,16 @@ def build_packed_postings(term_doc_tf: DataFrame, avgdl: float,
             "max_tf_norm": enc["max_tf_norm"],
         }])
 
-    return (with_shard.groupBy("term", "shard_id")
-            .applyInPandas(encode_group, PACKED_SCHEMA))
+    segments = (with_shard.groupBy("term", "shard_id")
+                .applyInPandas(encode_group, PACKED_SCHEMA))
+    # global df rides with every segment (the idf input at query time, so a
+    # query is one job) — computed over the tiny segments table, not the
+    # posting rows
+    totals = segments.groupBy("term").agg(
+        F.sum("df").cast("long").alias("_gdf"))
+    return (segments.drop("global_df").join(totals, "term")
+            .withColumnRenamed("_gdf", "global_df")
+            .select(*[f.name for f in PACKED_SCHEMA.fields]))
 
 
 def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
@@ -106,6 +115,7 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
             max_norm = max(max_norm, float(r["max_tf_norm"]))
         return pd.DataFrame([{
             "term": term, "shard_id": int(new_shard), "df": df,
+            "global_df": int(rows[0]["global_df"]),
             "first_doc": int(rows[0]["first_doc"]), "last_doc": last_doc,
             "doc_gaps": out_gaps, "tfs": bytes(tfs), "dls": bytes(dls),
             "block_last_doc": block_last, "block_max_tf_norm": block_max,

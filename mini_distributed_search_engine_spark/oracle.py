@@ -176,11 +176,12 @@ contrib AS (
   JOIN tstats ts ON ts.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s),
-scores AS (SELECT query_id, k, doc_id, sum(c) AS raw FROM contrib GROUP BY 1, 2, 3),
+scores AS (SELECT query_id, k, doc_id, round(sum(c), 6) AS score
+           FROM contrib GROUP BY 1, 2, 3),
 ranked AS (
-  SELECT query_id, doc_id, raw, k,
+  SELECT query_id, doc_id, score, k,
          CAST(row_number() OVER (PARTITION BY query_id
-              ORDER BY raw DESC, doc_id ASC) AS INT) AS rank
+              ORDER BY score DESC, doc_id ASC) AS INT) AS rank
   FROM scores)
-SELECT query_id, rank, doc_id, round(raw, 6) AS score
+SELECT query_id, rank, doc_id, score
 FROM ranked WHERE rank <= k"""

@@ -98,13 +98,18 @@ def bm25_topk(spark: SparkSession, term_doc_tf: DataFrame,
     scored = (sel.withColumn("contrib", idf * tf_part)
               .groupBy("query_id", "k", "doc_id")
               .agg(F.sum("contrib").alias("raw_score")))
-    w = Window.partitionBy("query_id").orderBy(F.col("raw_score").desc(),
+    # Rank on the ROUNDED score when rounding is requested: float association
+    # order differs between engines/plans, so two structurally-near-tied docs
+    # can swap raw order by 1 ulp — ranking on the rounded value plus the
+    # doc_id tie-break makes the (rank, doc_id) pairs engine-invariant.
+    score = F.round(F.col("raw_score"), round_scores) if round_scores is not None \
+        else F.col("raw_score")
+    scored = scored.withColumn("score", score)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("doc_id").asc())
     out = (scored.withColumn("rank", F.row_number().over(w))
            .where(F.col("rank") <= F.col("k")))
-    score = F.round(F.col("raw_score"), round_scores) if round_scores is not None \
-        else F.col("raw_score")
-    return out.select("query_id", "rank", "doc_id", score.alias("score"))
+    return out.select("query_id", "rank", "doc_id", "score")
 
 
 def bm25_scores_pandas(docs_terms: list[list[str]], query_terms: list[str],

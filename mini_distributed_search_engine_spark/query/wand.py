@@ -1,21 +1,21 @@
 """Exact top-k over the packed index with MaxScore pruning (WAND family).
 
 Distributed shape: query terms -> literal IN-list prune of the packed
-segments -> one Arrow group per doc-shard (shards partition the doc space,
-so per-shard exact top-k union-ed then globally ranked is exact) -> global
-rank window.
+segments (row-group/cache-batch pruning) -> one Arrow group per doc-shard
+(shards partition the doc space, so per-shard exact top-k union-ed then
+globally ranked is exact) -> global rank window. One Spark job: idf inputs
+(per-term global df) are stored IN the segments, and corpus stats
+(n_docs, avgdl) are a one-row collect at call time.
 
 Inside a shard (numpy, no per-posting Python): term-at-a-time MaxScore.
-Terms sorted by upper bound U_t = idf_t * max_tf_norm_t (the segment's
-precomputed block-max aggregate). Processing term i, every still-unscored
-doc lacks all of t_1..t_{i-1}, so its best possible score is
-RB_i = sum_{j>=i} U_j; once RB_i < theta (current k-th best), no unseen doc
-can enter the top-k and we stop WITHOUT decoding the remaining lists.
-Stopping only on strict < preserves exact tie-break semantics
-(score DESC, doc_id ASC). Scoring a term's new docs looks up the other
-terms' contributions by searchsorted — vectorized over the whole doc batch.
-
-Proven rank-identical to the exhaustive DataFrame path in
+Terms sorted by upper bound U_t = idf_t * max_tf_norm_t (precomputed segment
+metadata). Processing term i, every still-unscored doc lacks all of
+t_1..t_{i-1}, so its best possible score is RB_i = sum_{j>=i} U_j; once
+RB_i < theta - eps (current k-th best minus half a rounding unit), no unseen
+doc can reach the ROUNDED top-k and we stop without decoding the remaining
+lists. The eps guard plus ranking on rounded scores with the (score DESC,
+doc_id ASC) tie-break keeps results engine-invariant under float association
+noise. Proven rank-identical to the exhaustive DataFrame path in
 tests/test_wand.py.
 """
 
@@ -39,20 +39,24 @@ CAND_SCHEMA = T.StructType([
 ])
 
 
-def _shard_topk(queries_meta: list[tuple[str, dict[str, float], int]],
-                avgdl: float):
-    """Returns the applyInPandas fn: one doc-shard's segments -> per-query
-    top-k candidates. queries_meta: (query_id, {term: idf}, k)."""
+def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
+                n_docs: int, avgdl: float, round_scores: int | None):
+    """applyInPandas fn: one doc-shard's segments -> per-query top-k
+    candidates. queries_meta: (query_id, terms, k); idf comes from the
+    segments' stored global_df."""
+    eps = 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: dict[str, tuple[np.ndarray, np.ndarray, float]] = {}
+        decoded: dict[str, tuple] = {}
         for r in pdf.itertuples(index=False):
             dec = decode_postings(bytes(r.doc_gaps), bytes(r.tfs), bytes(r.dls))
             contrib = tf_norm(dec.tfs, dec.dls, avgdl)
-            decoded[r.term] = (dec.doc_ids, contrib, float(r.max_tf_norm))
+            idf = math.log(1.0 + (n_docs - r.global_df + 0.5)
+                           / (r.global_df + 0.5))
+            decoded[r.term] = (idf, dec.doc_ids, contrib, float(r.max_tf_norm))
         out_q, out_d, out_s = [], [], []
-        for query_id, idfs, k in queries_meta:
-            terms = [(t, idfs[t]) + decoded[t] for t in idfs if t in decoded]
+        for query_id, qterms, k in queries_meta:
+            terms = [(t,) + decoded[t] for t in qterms if t in decoded]
             if not terms or k <= 0:
                 continue
             # (term, idf, doc_ids, tf_norms, max_norm) sorted by U desc
@@ -63,7 +67,7 @@ def _shard_topk(queries_meta: list[tuple[str, dict[str, float], int]],
             pool_scores = np.empty(0, dtype=np.float64)
             theta = -math.inf
             for i, (t, idf, docs_i, _, _) in enumerate(terms):
-                if rem[i] < theta:
+                if rem[i] < theta - eps:
                     break
                 if pool_docs.size:
                     new_mask = ~np.isin(docs_i, pool_docs, assume_unique=True)
@@ -83,8 +87,12 @@ def _shard_topk(queries_meta: list[tuple[str, dict[str, float], int]],
                 if pool_docs.size >= k:
                     theta = np.partition(pool_scores, -k)[-k]
             if pool_docs.size:
+                # per-shard selection follows the GLOBAL ordering discipline:
+                # rounded score desc, doc_id asc
+                sel_scores = (np.round(pool_scores, round_scores)
+                              if round_scores is not None else pool_scores)
                 take = min(k, pool_docs.size)
-                order = np.lexsort((pool_docs, -pool_scores))[:take]
+                order = np.lexsort((pool_docs, -sel_scores))[:take]
                 out_q += [query_id] * take
                 out_d.append(pool_docs[order])
                 out_s.append(pool_scores[order])
@@ -110,35 +118,31 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
     """
     qrows = analyzed_query_terms(queries, stem=stem)
     stats = doc_stats.collect()[0]
-    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"])
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
     term_list = sorted({t for _, t, _ in qrows})
     if not term_list:
         return spark.createDataFrame(
             [], "query_id string, rank int, doc_id long, score double")
     sel = packed.where(F.col("term").isin(term_list))
-    # global df per query term (sum over shards) -> idf, driver-side (tiny)
-    dfs = {r["term"]: r["gdf"] for r in
-           sel.groupBy("term").agg(F.sum("df").alias("gdf")).collect()}
-    queries_meta = []
-    per_query: dict[str, tuple[dict, int]] = {}
+    per_query: dict[str, tuple[list, int]] = {}
     for query_id, term, k in qrows:
-        per_query.setdefault(query_id, ({}, k))
-        if term in dfs:
-            per_query[query_id][0][term] = math.log(
-                1.0 + (n_docs - dfs[term] + 0.5) / (dfs[term] + 0.5))
-    queries_meta = [(q, idfs, k) for q, (idfs, k) in per_query.items()]
+        per_query.setdefault(query_id, ([], k))
+        per_query[query_id][0].append(term)
+    queries_meta = [(q, ts, k) for q, (ts, k) in per_query.items()]
 
-    cands = (sel.repartition("shard_id").groupBy("shard_id")
-             .applyInPandas(lambda pdf: _shard_topk(queries_meta, avgdl)(pdf),
-                            CAND_SCHEMA))
-    # per-shard top-k already limits candidates to k per (query, shard)
+    cands = (sel.groupBy("shard_id")
+             .applyInPandas(
+                 lambda pdf: _shard_topk(queries_meta, n_docs, avgdl,
+                                         round_scores)(pdf),
+                 CAND_SCHEMA))
     kdf = F.broadcast(spark.createDataFrame(
         [(q.query_id, q.k) for q in queries], "query_id string, k int"))
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
-                                               F.col("doc_id").asc())
-    out = (cands.withColumn("rank", F.row_number().over(w))
-           .join(kdf, "query_id")
-           .where(F.col("rank") <= F.col("k")))
     score = F.round(F.col("score"), round_scores) if round_scores is not None \
         else F.col("score")
-    return out.select("query_id", "rank", "doc_id", score.alias("score"))
+    scored = cands.withColumn("score", score)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("doc_id").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .join(kdf, "query_id")
+           .where(F.col("rank") <= F.col("k")))
+    return out.select("query_id", "rank", "doc_id", "score")
