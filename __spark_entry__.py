@@ -33,7 +33,10 @@ from mini_distributed_search_engine_spark.index.packed import (
 from mini_distributed_search_engine_spark.operators import analytics, flame
 from mini_distributed_search_engine_spark.operators.pagerank import (
     pagerank_fixed_query, pagerank_fixed_sql)
-from mini_distributed_search_engine_spark.query.bm25 import bm25_topk
+from mini_distributed_search_engine_spark.query.bm25 import (
+    DEFAULT_QUERY_SET, bm25_topk)
+from mini_distributed_search_engine_spark.query.tfidf import (
+    RERANK_QUERY_SET, tfidf_blend_topk, tfidf_rerank_topk)
 from mini_distributed_search_engine_spark.query.wand import wand_topk
 from mini_distributed_search_engine_spark.sources.transcripts import (
     transcripts_from_documents)
@@ -119,6 +122,22 @@ def _bm25_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "role", "snippet")
 
 
+def _tfidf_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference Searcher's OWN ranking (TF-IDF threshold 0.4 + constant
+    PageRank blend, Searcher.java:189-244) — reference-parity query."""
+    idx = _index(spark, sf_dir, stem=True)
+    return tfidf_blend_topk(spark, idx.term_doc_tf, idx.term_stats,
+                            DEFAULT_QUERY_SET)
+
+
+def _tfidf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Searcher result pipeline incl. the secondary title/body-match
+    bucketing re-rank (Searcher.java:275-307)."""
+    idx = _index(spark, sf_dir, stem=True)
+    return tfidf_rerank_topk(spark, idx.term_doc_tf, idx.term_stats,
+                             idx.docs, RERANK_QUERY_SET)
+
+
 def _term_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocomplete surface (Searcher.java:319-337 '/words' + client prefix
     filter): terms by document frequency under a prefix."""
@@ -158,6 +177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_nostem": _bm25(stem=False),
         "bm25_topk_wand": _bm25_wand,
         "bm25_topk_hydrated": _bm25_hydrated,
+        "tfidf_blend_topk": _tfidf_blend,
+        "tfidf_rerank_topk": _tfidf_rerank,
         "term_suggestions": _term_suggestions,
         "packed_roundtrip": _packed_roundtrip,
         "flame_groupby_salted": _groupby_salted,
@@ -234,6 +255,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_nostem": O.sql_bm25_topk(stem=False),
         "bm25_topk_wand": O.sql_bm25_topk(stem=True),
         "bm25_topk_hydrated": O.sql_bm25_topk_hydrated(stem=True),
+        "tfidf_blend_topk": O.sql_tfidf_blend_topk(stem=True),
+        "tfidf_rerank_topk": O.sql_tfidf_rerank_topk(stem=True),
         "term_suggestions": O.sql_term_suggestions(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "flame_scan_filter_project": (

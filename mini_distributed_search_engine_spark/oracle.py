@@ -22,6 +22,8 @@ from __future__ import annotations
 from .functions.analyzer import MAX_WORD_LEN, STOP_WORDS, analyze
 from .functions.porter import porter_stem
 from .query.bm25 import DEFAULT_QUERY_SET, K1, B, Query, analyzed_query_terms
+from .query.tfidf import (N_EST, PR_CONST, RERANK_QUERY_SET, RESULT_CAP,
+                          TFIDF_WEIGHT, THRESHOLD)
 from .sources.transcripts import derive_sql
 
 # The fixed vocabulary of the driver-generated documents tables (verified
@@ -34,6 +36,13 @@ DOCUMENTS_VOCAB = (
 )
 
 
+# Fixed vocabulary of the transcript derivation's role/tool columns (the
+# "title" analogue in the Searcher re-rank) — sources/transcripts.py ROLES +
+# TOOLS. Inlined into the same stem dictionary as DOCUMENTS_VOCAB.
+TITLE_VOCAB = ("user", "assistant", "system", "tool", "search", "calc",
+               "browse")
+
+
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
@@ -44,7 +53,7 @@ def stop_list_sql() -> str:
 
 def stem_map_values() -> str:
     rows = []
-    for tok in DOCUMENTS_VOCAB:
+    for tok in sorted(set(DOCUMENTS_VOCAB) | set(TITLE_VOCAB)):
         stem = porter_stem(tok)
         if len(stem) > MAX_WORD_LEN:
             stem = stem[-MAX_WORD_LEN:]
@@ -185,3 +194,100 @@ ranked AS (
   FROM scores)
 SELECT query_id, rank, doc_id, score
 FROM ranked WHERE rank <= k"""
+
+
+# ---------------------------------------------------------------------------
+# Reference Searcher scoring (TF-IDF threshold + constant-PageRank blend +
+# title/body match re-rank) — see query/tfidf.py for the semantics citations.
+# ---------------------------------------------------------------------------
+
+def _tfidf_blend_ctes(stem: bool, queries: tuple[Query, ...]) -> str:
+    """CTE chain ending in ``topk(query_id, k, doc_id, score)`` — the blended
+    thresholded capped result set, pre-re-rank."""
+    return analyzed_terms_ctes(stem) + f"""
+, tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY 1, 2),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qterms(query_id, term, k) AS (VALUES {qterms_values(queries, stem)}),
+contrib AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         (1.0 + log10(tf.tf)) * log10(1.0 + {float(N_EST)} / ts.df) AS c
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN tstats ts ON ts.term = q.term),
+tfidf_scores AS (SELECT query_id, k, doc_id, round(sum(c), 6) AS tfidf
+                 FROM contrib GROUP BY 1, 2, 3),
+blended AS (
+  SELECT query_id, k, doc_id,
+         CAST({PR_CONST} AS DOUBLE) * CAST({PR_CONST} AS DOUBLE)
+         + CAST({TFIDF_WEIGHT} AS DOUBLE) * tfidf AS score
+  FROM tfidf_scores WHERE tfidf > {THRESHOLD}),
+blend_ranked AS (
+  SELECT query_id, k, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM blended),
+topk AS (SELECT query_id, k, doc_id, score, rank FROM blend_ranked
+         WHERE rank <= least(k, {RESULT_CAP}))"""
+
+
+def sql_tfidf_blend_topk(stem: bool = True,
+                         queries: tuple[Query, ...] = DEFAULT_QUERY_SET) -> str:
+    return (_tfidf_blend_ctes(stem, queries)
+            + "\nSELECT query_id, rank, doc_id, score FROM topk")
+
+
+def sql_tfidf_rerank_topk(stem: bool = True,
+                          queries: tuple[Query, ...] = RERANK_QUERY_SET) -> str:
+    """Searcher.java:275-307 bucketing: order by (title matches DESC, body
+    matches DESC), score order in-bucket, deterministic doc_id tie-break.
+    Title analogue = role + ' ' + tool, analyzed with the shared chain."""
+    stop = stop_list_sql()
+    if stem:
+        t_expr = ("coalesce(tsm.stem, CASE WHEN length(tft.tok) > {m} "
+                  "THEN substr(tft.tok, length(tft.tok) - {m} + 1) "
+                  "ELSE tft.tok END)").format(m=MAX_WORD_LEN)
+        t_join = "LEFT JOIN stem_map tsm ON tsm.tok = tft.tok"
+    else:
+        t_expr, t_join = "tft.tok", ""
+    return _tfidf_blend_ctes(stem, queries) + f""",
+title_tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(regexp_replace(regexp_replace(
+                lower(concat_ws(' ', role, tool)),
+                '<[^>]+>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g')), '\\s+')) AS tok
+  FROM docs),
+tft AS (
+  SELECT doc_id, tok FROM title_tok
+  WHERE tok <> '' AND length(tok) <= {MAX_WORD_LEN}
+    AND NOT regexp_matches(tok, '[0-9]') AND tok NOT IN ({stop})),
+title_sel AS (
+  SELECT DISTINCT doc_id, term FROM
+  (SELECT tft.doc_id, {t_expr} AS term FROM tft {t_join})
+  WHERE term NOT IN ({stop})),
+body_m AS (
+  SELECT t.query_id, t.doc_id,
+         CAST(count(DISTINCT q.term) AS INT) AS body_matches
+  FROM topk t
+  JOIN qterms q ON q.query_id = t.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = t.doc_id
+  GROUP BY 1, 2),
+title_m AS (
+  SELECT t.query_id, t.doc_id,
+         CAST(count(DISTINCT q.term) AS INT) AS title_matches
+  FROM topk t
+  JOIN qterms q ON q.query_id = t.query_id
+  JOIN title_sel ts ON ts.term = q.term AND ts.doc_id = t.doc_id
+  GROUP BY 1, 2),
+final AS (
+  SELECT t.query_id, t.doc_id, t.score,
+         coalesce(tm.title_matches, 0) AS title_matches,
+         coalesce(bm.body_matches, 0) AS body_matches
+  FROM topk t
+  LEFT JOIN title_m tm ON tm.query_id = t.query_id AND tm.doc_id = t.doc_id
+  LEFT JOIN body_m bm ON bm.query_id = t.query_id AND bm.doc_id = t.doc_id)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY title_matches DESC, body_matches DESC,
+                     score DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, score, title_matches, body_matches
+FROM final"""
