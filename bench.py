@@ -115,7 +115,12 @@ def main() -> None:
     term_stats = spark.read.parquet(str(out_dir / "term_stats")).cache()
     term_stats.count()
     doc_stats = spark.read.parquet(str(out_dir / "doc_stats"))
-    packed_r = spark.read.parquet(str(out_dir / "packed")).cache()
+    stats_row = doc_stats.collect()[0]
+    corpus_stats = (int(stats_row["n_docs"]), float(stats_row["avgdl"]))
+    # shard_id-partitioned cache: the per-query groupBy(shard_id) WAND stage
+    # then reuses the cached partitioning with no exchange (engine.py note)
+    packed_r = (spark.read.parquet(str(out_dir / "packed"))
+                .repartition(cpus, "shard_id").cache())
     packed_r.count()
     per_query: dict[str, float] = {}
     per_query_wand: dict[str, float] = {}
@@ -124,8 +129,15 @@ def main() -> None:
         bm25_topk(spark, tf, term_stats, doc_stats, queries=(q,)).collect()
         per_query[q.query_id] = round(time.perf_counter() - t, 4)
         t = time.perf_counter()
-        wand_topk(spark, packed_r, doc_stats, queries=(q,)).collect()
+        wand_topk(spark, packed_r, doc_stats, queries=(q,),
+                  corpus_stats=corpus_stats).collect()
         per_query_wand[q.query_id] = round(time.perf_counter() - t, 4)
+    # batched serving throughput: ALL queries as one Spark job (the
+    # amortized per-query cost a warm query service actually pays)
+    t = time.perf_counter()
+    wand_topk(spark, packed_r, doc_stats, queries=BENCH_QUERIES,
+              corpus_stats=corpus_stats).collect()
+    batch_sec = round(time.perf_counter() - t, 4)
     lat = sorted(per_query.values())
     p50 = lat[len(lat) // 2]
     lat_w = sorted(per_query_wand.values())
@@ -146,6 +158,8 @@ def main() -> None:
         "query_p50_sec": p50,
         "queries_wand": per_query_wand,
         "query_wand_p50_sec": p50_w,
+        "batch_queries_sec": batch_sec,
+        "batch_per_query_sec": round(batch_sec / len(BENCH_QUERIES), 4),
         "cpus": cpus,
     }))
 

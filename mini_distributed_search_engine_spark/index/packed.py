@@ -54,7 +54,7 @@ def build_packed_postings(term_doc_tf: DataFrame, avgdl: float,
     with_shard = term_doc_tf.withColumn(
         "shard_id", (F.col("doc_id") / F.lit(shard_span)).cast("int"))
 
-    def encode_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, shard_id = key
         enc = encode_postings(pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(),
                               pdf["dl"].to_numpy(), avgdl)
@@ -90,7 +90,7 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
     original runs put them.
     """
 
-    def merge_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, new_shard = key
         pdf = pdf.sort_values("shard_id")
         rows = pdf.to_dict("records")
@@ -122,11 +122,13 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
             "max_tf_norm": max_norm,
         }])
 
+    def merge_group_typed(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        return merge_group(key, pdf.drop(columns=["_new_shard"]))
+
     lv = packed.withColumn("_new_shard",
                            (F.col("shard_id") / F.lit(level_factor)).cast("int"))
     return (lv.groupBy("term", "_new_shard")
-            .applyInPandas(lambda key, pdf: merge_group(key, pdf.drop(columns=["_new_shard"])),
-                           PACKED_SCHEMA))
+            .applyInPandas(merge_group_typed, PACKED_SCHEMA))
 
 
 def unpack_to_rows(packed: DataFrame) -> DataFrame:

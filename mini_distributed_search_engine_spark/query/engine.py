@@ -26,8 +26,17 @@ class SearchEngine:
         self.use_packed = use_packed
         self.doc_stats = spark.read.parquet(f"{index_root}/stats/doc_stats")
         self._stats_row = self.doc_stats.collect()[0]  # warm once
+        self._corpus_stats = (int(self._stats_row["n_docs"]),
+                              float(self._stats_row["avgdl"]))
         if use_packed:
-            self.packed = spark.read.parquet(f"{index_root}/merged/data").cache()
+            # Cache hash-partitioned on shard_id: the per-query
+            # groupBy(shard_id).applyInPandas then needs NO exchange (the
+            # cached partitioning already satisfies its clustered
+            # distribution), so a warm query is one shuffle-free scan stage
+            # plus the tiny global-rank stage.
+            n = spark.sparkContext.defaultParallelism
+            self.packed = (spark.read.parquet(f"{index_root}/merged/data")
+                           .repartition(n, "shard_id").cache())
             self.packed.count()
         else:
             self.tf = spark.read.parquet(f"{index_root}/term_doc_tf/data").cache()
@@ -41,7 +50,8 @@ class SearchEngine:
                      hydrate: bool = False) -> DataFrame:
         if self.use_packed:
             out = wand_topk(self.spark, self.packed, self.doc_stats,
-                            queries=queries)
+                            queries=queries,
+                            corpus_stats=self._corpus_stats)
         else:
             out = bm25_topk(self.spark, self.tf, self.term_stats,
                             self.doc_stats, queries=queries)

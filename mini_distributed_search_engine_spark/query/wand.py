@@ -36,6 +36,9 @@ CAND_SCHEMA = T.StructType([
     T.StructField("query_id", T.StringType(), False),
     T.StructField("doc_id", T.LongType(), False),
     T.StructField("score", T.DoubleType(), False),
+    # per-query k rides with every candidate row so the final rank filter
+    # needs no extra broadcast join (one fewer stage on the serving path)
+    T.StructField("k", T.IntegerType(), False),
 ])
 
 
@@ -93,16 +96,19 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                               if round_scores is not None else pool_scores)
                 take = min(k, pool_docs.size)
                 order = np.lexsort((pool_docs, -sel_scores))[:take]
-                out_q += [query_id] * take
+                out_q += [(query_id, k)] * take
                 out_d.append(pool_docs[order])
                 out_s.append(pool_scores[order])
         if not out_q:
             return pd.DataFrame({"query_id": pd.Series(dtype="str"),
                                  "doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
-        return pd.DataFrame({"query_id": out_q,
+                                 "score": pd.Series(dtype="float64"),
+                                 "k": pd.Series(dtype="int32")})
+        return pd.DataFrame({"query_id": [q for q, _ in out_q],
                              "doc_id": np.concatenate(out_d),
-                             "score": np.concatenate(out_s)})
+                             "score": np.concatenate(out_s),
+                             "k": np.array([k for _, k in out_q],
+                                           dtype="int32")})
 
     return fn
 
@@ -110,15 +116,20 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
 def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
               queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
               stem: bool = True,
-              round_scores: int | None = 6) -> DataFrame:
+              round_scores: int | None = 6,
+              corpus_stats: tuple[int, float] | None = None) -> DataFrame:
     """Exact BM25 top-k via per-shard MaxScore over the packed index.
 
     Output schema identical to `bm25.bm25_topk`:
-    (query_id, rank, doc_id, score).
+    (query_id, rank, doc_id, score). Pass ``corpus_stats=(n_docs, avgdl)``
+    (e.g. cached by SearchEngine at warmup) to skip the doc_stats collect —
+    a warm query is then a single Spark job.
     """
     qrows = analyzed_query_terms(queries, stem=stem)
-    stats = doc_stats.collect()[0]
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    if corpus_stats is None:
+        stats = doc_stats.collect()[0]
+        corpus_stats = (int(stats["n_docs"]), float(stats["avgdl"]))
+    n_docs, avgdl = corpus_stats
     term_list = sorted({t for _, t, _ in qrows})
     if not term_list:
         return spark.createDataFrame(
@@ -130,19 +141,17 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
         per_query[query_id][0].append(term)
     queries_meta = [(q, ts, k) for q, (ts, k) in per_query.items()]
 
-    cands = (sel.groupBy("shard_id")
-             .applyInPandas(
-                 lambda pdf: _shard_topk(queries_meta, n_docs, avgdl,
-                                         round_scores)(pdf),
-                 CAND_SCHEMA))
-    kdf = F.broadcast(spark.createDataFrame(
-        [(q.query_id, q.k) for q in queries], "query_id string, k int"))
+    fn = _shard_topk(queries_meta, n_docs, avgdl, round_scores)
+
+    def fn_typed(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf)
+
+    cands = sel.groupBy("shard_id").applyInPandas(fn_typed, CAND_SCHEMA)
     score = F.round(F.col("score"), round_scores) if round_scores is not None \
         else F.col("score")
     scored = cands.withColumn("score", score)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("doc_id").asc())
     out = (scored.withColumn("rank", F.row_number().over(w))
-           .join(kdf, "query_id")
            .where(F.col("rank") <= F.col("k")))
     return out.select("query_id", "rank", "doc_id", "score")
