@@ -183,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_roundtrip": _packed_roundtrip,
         "flame_groupby_salted": _groupby_salted,
         # Flame operator analogues (SURVEY.md §2.1)
+        "flame_parallelize": flame.parallelize_list,
         "flame_scan_filter_project": flame.scan_filter_project,
         "flame_wordcount": flame.wordcount,
         "flame_distinct": flame.distinct_keys,
@@ -259,6 +260,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_rerank_topk": O.sql_tfidf_rerank_topk(stem=True),
         "term_suggestions": O.sql_term_suggestions(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
+        "flame_parallelize": (
+            "SELECT * FROM (VALUES " + ", ".join(
+                f"({i}, '{w}')" for i, w in enumerate(flame.PARALLELIZE_DATA))
+            + ") AS t(pos, value)"),
         "flame_scan_filter_project": (
             "SELECT l_orderkey, l_partkey, "
             "round(l_extendedprice * (1 - l_discount), 4) AS revenue "

@@ -30,6 +30,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Fixed driver-local list for the parallelize analogue (the reference tests
+# feed randomized word lists; ours is deterministic for the oracle).
+PARALLELIZE_DATA = ("spark", "flame", "kvs", "index", "bm25", "rank",
+                    "merge", "shard")
+
+
+# 0. parallelize: driver-local list -> distributed table with synthetic keys
+#    (flame/FlameContext.java:28, FlameContextImpl.java:48-63). Spark:
+#    createDataFrame; the reference's hashed row keys become an explicit
+#    position column (its row keys only exist to spread the KVS ring).
+def parallelize_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = [(i, w) for i, w in enumerate(PARALLELIZE_DATA)]
+    return spark.createDataFrame(rows, "pos int, value string")
+
+
 # 1. fromTable: scan + project/filter fused lambda (flame/Worker.java:312-347)
 #    -> predicate pushdown + column pruning reach the parquet scan.
 def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
