@@ -81,19 +81,12 @@ def porter_stem_udf(tokens):  # pragma: no cover - executed on executors
     return stem_series(tokens)
 
 
-def term_tokens_df(df: DataFrame, text_col: str = "text",
-                   keep_cols: tuple = ("doc_id",),
-                   stem: bool = True) -> DataFrame:
-    """Explode ``text_col`` into analyzed terms (one output row per surviving
-    token occurrence), keeping ``keep_cols``.
-
-    Everything except the stem itself runs JVM-side (codegen): tokenize via
-    split/explode, stop/junk filters via isin/rlike/length. ``stem=False``
-    yields the stem-free variant used by the DuckDB-oracle-checked queries
-    (DuckDB in this sandbox cannot load its fts/stem extension).
-    """
+def _filtered_tokens(df: DataFrame, text_col: str,
+                     keep_cols: tuple) -> DataFrame:
+    """Explode + pre-stem filters, all JVM-side (codegen): tokenize via
+    split/explode, stop/junk filters via isin/rlike/length."""
     kept = [F.col(c) for c in keep_cols]
-    toks = (
+    return (
         df.select(*kept, F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("tok"))
         .where(F.col("tok") != "")
         # pre-stem stop filter + junk filter (digit or >20 chars)
@@ -101,25 +94,45 @@ def term_tokens_df(df: DataFrame, text_col: str = "text",
         .where(~F.col("tok").rlike("[0-9]"))
         .where(F.length("tok") <= MAX_WORD_LEN)
     )
+
+
+def _stem_dict(toks: DataFrame) -> DataFrame:
+    """(tok, term) dictionary over the DISTINCT tokens of ``toks``.
+
+    Stemming DISTINCT tokens, not occurrences, means the Python/Arrow path
+    sees O(vocabulary) rows instead of O(token occurrences) — at 10^12-turn
+    scale that is the difference between streaming the whole corpus through
+    Python and a side computation. Zipf makes the distinct set tiny relative
+    to occurrences; map-side partial dedup keeps the distinct shuffle small,
+    and AQE turns the join broadcast when the dictionary fits (it
+    essentially always does — and is left to AQE rather than a broadcast
+    hint so a genuinely huge vocabulary degrades to a shuffle join instead
+    of an OOM).
+    """
+    return (
+        toks.select("tok").distinct()
+        .withColumn("term", porter_stem_udf(F.col("tok")))
+        # overlong stems keep the LAST 20 chars (Indexer.java:192-194)
+        .withColumn(
+            "term",
+            F.when(F.length("term") > MAX_WORD_LEN,
+                   F.substring(F.col("term"), -MAX_WORD_LEN, MAX_WORD_LEN))
+            .otherwise(F.col("term")))
+    )
+
+
+def term_tokens_df(df: DataFrame, text_col: str = "text",
+                   keep_cols: tuple = ("doc_id",),
+                   stem: bool = True) -> DataFrame:
+    """Explode ``text_col`` into analyzed terms (one output row per surviving
+    token occurrence), keeping ``keep_cols``. ``stem=False`` yields the
+    stem-free variant used by the DuckDB-oracle-checked queries (DuckDB in
+    this sandbox cannot load its fts/stem extension).
+    """
+    toks = _filtered_tokens(df, text_col, keep_cols)
+    kept = [F.col(c) for c in keep_cols]
     if stem:
-        # Stem DISTINCT tokens, not occurrences: the Python/Arrow path sees
-        # O(vocabulary) rows instead of O(token occurrences) — at 10^12-turn
-        # scale that is the difference between streaming the whole corpus
-        # through Python and a side computation. Zipf makes the distinct set
-        # tiny relative to occurrences; map-side partial dedup keeps the
-        # distinct shuffle small, and AQE turns the join broadcast when the
-        # dictionary fits (it essentially always does).
-        stem_dict = (
-            toks.select("tok").distinct()
-            .withColumn("term", porter_stem_udf(F.col("tok")))
-            # overlong stems keep the LAST 20 chars (Indexer.java:192-194)
-            .withColumn(
-                "term",
-                F.when(F.length("term") > MAX_WORD_LEN,
-                       F.substring(F.col("term"), -MAX_WORD_LEN, MAX_WORD_LEN))
-                .otherwise(F.col("term")))
-        )
-        toks = toks.join(stem_dict, "tok")
+        toks = toks.join(_stem_dict(toks), "tok")
     else:
         toks = toks.withColumn("term", F.col("tok"))
     # post-stem stop filter (Indexer.java:199)

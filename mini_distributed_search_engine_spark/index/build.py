@@ -87,9 +87,15 @@ class IndexTables:
 def build_index(transcripts: DataFrame, stem: bool = True,
                 persist: bool = True) -> IndexTables:
     docs_base = with_stable_doc_ids(transcripts)
+    # Occurrence rows -> ONE wide shuffle (groupBy term,doc_id with map-side
+    # partial agg). The stem-dictionary branch re-runs the narrow
+    # explode+filter scan, which measures CHEAPER than pre-aggregating
+    # (doc_id, tok) counts to share the scan: that shape needs a second wide
+    # exchange on ~the same row count, and codegen scans are far cheaper
+    # than exchanges.
     terms = term_tokens_df(docs_base, "text", keep_cols=("doc_id",), stem=stem)
     tf = (terms.groupBy("term", "doc_id")
-          .agg(F.count("*").cast("long").alias("tf")))
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
     if persist:
         # tf is the root every downstream table derives from (dl, stats,
         # postings); persisting anything downstream of it would make docs /

@@ -121,7 +121,7 @@ class StagedIndexBuild:
             docs = self.read("docs", "data")
             terms = term_tokens_df(docs, "text", keep_cols=("doc_id",), stem=stem)
             tf = (terms.groupBy("term", "doc_id")
-                  .agg(F.count("*").cast("long").alias("tf")))
+                  .agg(F.count(F.lit(1)).cast("long").alias("tf")))
             tf = tf.persist()
             dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
             dl.write.mode("overwrite").parquet(str(self._dir("term_doc_tf") / "dl"))
