@@ -34,7 +34,7 @@ from mini_distributed_search_engine_spark.operators import analytics, flame
 from mini_distributed_search_engine_spark.operators.pagerank import (
     pagerank_fixed_query, pagerank_fixed_sql)
 from mini_distributed_search_engine_spark.query.bm25 import (
-    DEFAULT_QUERY_SET, bm25_topk)
+    AND_QUERY_SET, DEFAULT_QUERY_SET, bm25_topk, bm25_topk_conjunctive)
 from mini_distributed_search_engine_spark.query.tfidf import (
     RERANK_QUERY_SET, tfidf_blend_topk, tfidf_rerank_topk)
 from mini_distributed_search_engine_spark.query.wand import wand_topk
@@ -108,6 +108,24 @@ def _bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(spark, packed, idx.doc_stats)
 
 
+def _bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) retrieval: doc must contain every analyzed query
+    term — the declarative posting-list-intersection path."""
+    idx = _index(spark, sf_dir, stem=True)
+    return bm25_topk_conjunctive(spark, idx.term_doc_tf, idx.term_stats,
+                                 idx.doc_stats)
+
+
+def _bm25_and_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same AND semantics over the compressed index: literal sorted-array
+    posting-list intersection inside doc-range shards; same oracle."""
+    idx = _index(spark, sf_dir, stem=True)
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=256)
+    return wand_topk(spark, packed, idx.doc_stats, queries=AND_QUERY_SET,
+                     conjunctive=True)
+
+
 def _bm25_hydrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Searcher lifecycle parity (SURVEY §2.2 'metadata hydrate',
     Searcher.java:253-273): top-k docIDs joined back to the doc store for
@@ -176,6 +194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _bm25(stem=True),
         "bm25_topk_nostem": _bm25(stem=False),
         "bm25_topk_wand": _bm25_wand,
+        "bm25_topk_and": _bm25_and,
+        "bm25_topk_and_wand": _bm25_and_wand,
         "bm25_topk_hydrated": _bm25_hydrated,
         "tfidf_blend_topk": _tfidf_blend,
         "tfidf_rerank_topk": _tfidf_rerank,
@@ -255,6 +275,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": O.sql_bm25_topk(stem=True),
         "bm25_topk_nostem": O.sql_bm25_topk(stem=False),
         "bm25_topk_wand": O.sql_bm25_topk(stem=True),
+        "bm25_topk_and": O.sql_bm25_topk_conjunctive(stem=True),
+        "bm25_topk_and_wand": O.sql_bm25_topk_conjunctive(stem=True),
+        # (both use AND_QUERY_SET — rare/common term mixes where the
+        # intersection is a strict subset of the union)
         "bm25_topk_hydrated": O.sql_bm25_topk_hydrated(stem=True),
         "tfidf_blend_topk": O.sql_tfidf_blend_topk(stem=True),
         "tfidf_rerank_topk": O.sql_tfidf_rerank_topk(stem=True),

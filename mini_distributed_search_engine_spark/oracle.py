@@ -21,7 +21,8 @@ from __future__ import annotations
 
 from .functions.analyzer import MAX_WORD_LEN, STOP_WORDS, analyze
 from .functions.porter import porter_stem
-from .query.bm25 import DEFAULT_QUERY_SET, K1, B, Query, analyzed_query_terms
+from .query.bm25 import (AND_QUERY_SET, DEFAULT_QUERY_SET, K1, B, Query,
+                         analyzed_query_terms)
 from .query.tfidf import (N_EST, PR_CONST, RERANK_QUERY_SET, RESULT_CAP,
                           TFIDF_WEIGHT, THRESHOLD)
 from .sources.transcripts import derive_sql
@@ -192,6 +193,42 @@ ranked AS (
          CAST(row_number() OVER (PARTITION BY query_id
               ORDER BY score DESC, doc_id ASC) AS INT) AS rank
   FROM scores)
+SELECT query_id, rank, doc_id, score
+FROM ranked WHERE rank <= k"""
+
+
+def sql_bm25_topk_conjunctive(stem: bool = True,
+                              queries: tuple[Query, ...] = AND_QUERY_SET) -> str:
+    """AND semantics: doc must contain every analyzed query term."""
+    return analyzed_terms_ctes(stem) + f"""
+, tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM docs) AS n_docs,
+         (SELECT avg(coalesce(dl.dl, 0))
+          FROM docs d LEFT JOIN dl USING (doc_id)) AS avgdl),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qterms(query_id, term, k) AS (VALUES {qterms_values(queries, stem)}),
+qn AS (SELECT query_id, count(*) AS nterms FROM qterms GROUP BY 1),
+contrib AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN tstats ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scores AS (SELECT query_id, k, doc_id, round(sum(c), 6) AS score,
+                  count(*) AS nhit
+           FROM contrib GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT sc.query_id, sc.doc_id, sc.score, sc.k,
+         CAST(row_number() OVER (PARTITION BY sc.query_id
+              ORDER BY sc.score DESC, sc.doc_id ASC) AS INT) AS rank
+  FROM scores sc JOIN qn ON qn.query_id = sc.query_id
+  WHERE sc.nhit = qn.nterms)
 SELECT query_id, rank, doc_id, score
 FROM ranked WHERE rank <= k"""
 

@@ -112,6 +112,74 @@ def bm25_topk(spark: SparkSession, term_doc_tf: DataFrame,
     return out.select("query_id", "rank", "doc_id", "score")
 
 
+# Conjunctive query set: term combinations whose intersection is a strict
+# subset of their union on the sf documents tables (e.g. 'dup' appears in
+# ~5% of docs, 'key' in ~75% — AND keeps only the overlap), so the AND
+# semantics are actually exercised, unlike the 31-word-vocab DEFAULT set
+# where long docs contain every common term.
+AND_QUERY_SET: tuple[Query, ...] = (
+    Query("a01", "dup key", k=500),
+    Query("a02", "key fast value", k=500),
+    Query("a03", "fast line vector", k=500),
+    Query("a04", "dup zzzznotaterm", k=500),   # absent term -> empty
+    Query("a05", "window", k=20),               # single term == OR semantics
+)
+
+
+def bm25_topk_conjunctive(spark: SparkSession, term_doc_tf: DataFrame,
+                          term_stats: DataFrame, doc_stats: DataFrame,
+                          queries: tuple[Query, ...] = AND_QUERY_SET,
+                          stem: bool = True,
+                          round_scores: int | None = 6) -> DataFrame:
+    """Conjunctive (AND) BM25 top-k: a doc qualifies only if it contains
+    EVERY analyzed query term (posting-list intersection semantics); ranking
+    among qualifying docs is the same BM25 sum with the same tie-break.
+
+    Same broadcast-semi-join plan as `bm25_topk` plus a per-(query, doc)
+    matched-term count compared against the query's term count — the
+    declarative form of an intersection; the packed-index path
+    (`wand.wand_topk(..., conjunctive=True)`) does the literal sorted-array
+    intersection inside shards.
+    """
+    qrows = analyzed_query_terms(queries, stem=stem)
+    if not qrows:
+        qrows = [("__none__", "__none__", 0)]
+    qterms = spark.createDataFrame(qrows, "query_id string, term string, k int")
+    stats = doc_stats.collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    term_list = sorted({t for _, t, _ in qrows})
+    nterms = {}
+    for q, _, _ in qrows:
+        nterms[q] = nterms.get(q, 0) + 1
+    ndf = F.broadcast(spark.createDataFrame(
+        list(nterms.items()), "query_id string, nterms int"))
+
+    pruned = term_doc_tf.where(F.col("term").isin(term_list))
+    sel = pruned.join(F.broadcast(qterms), "term")
+    sel = sel.join(F.broadcast(term_stats.where(F.col("term").isin(term_list))),
+                   "term")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf_part = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl))))
+    scored = (sel.withColumn("contrib", idf * tf_part)
+              .groupBy("query_id", "k", "doc_id")
+              .agg(F.sum("contrib").alias("raw_score"),
+                   # (term, doc_id) is unique in term_doc_tf, so the row
+                   # count IS the distinct matched-term count
+                   F.count(F.lit(1)).cast("int").alias("nhit"))
+              .join(ndf, "query_id")
+              .where(F.col("nhit") == F.col("nterms")))
+    score = F.round(F.col("raw_score"), round_scores) if round_scores is not None \
+        else F.col("raw_score")
+    scored = scored.withColumn("score", score)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
+                                               F.col("doc_id").asc())
+    out = (scored.withColumn("rank", F.row_number().over(w))
+           .where(F.col("rank") <= F.col("k")))
+    return out.select("query_id", "rank", "doc_id", "score")
+
+
 def bm25_scores_pandas(docs_terms: list[list[str]], query_terms: list[str],
                        k1: float = K1, b: float = B) -> list[float]:
     """Brute-force single-node oracle (pure Python/numpy-free, test-only):

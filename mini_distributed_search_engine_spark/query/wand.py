@@ -43,10 +43,13 @@ CAND_SCHEMA = T.StructType([
 
 
 def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
-                n_docs: int, avgdl: float, round_scores: int | None):
+                n_docs: int, avgdl: float, round_scores: int | None,
+                conjunctive: bool = False):
     """applyInPandas fn: one doc-shard's segments -> per-query top-k
     candidates. queries_meta: (query_id, terms, k); idf comes from the
-    segments' stored global_df."""
+    segments' stored global_df. ``conjunctive=True`` = AND semantics:
+    sorted-array posting-list intersection (a doc's postings for every term
+    live in the same doc-range shard, so per-shard intersection is exact)."""
     eps = 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -61,6 +64,30 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
         for query_id, qterms, k in queries_meta:
             terms = [(t,) + decoded[t] for t in qterms if t in decoded]
             if not terms or k <= 0:
+                continue
+            if conjunctive:
+                if len(terms) < len(qterms):
+                    continue  # a term absent from this shard -> no doc here has it
+                # intersect smallest-first, then score the survivors exactly
+                lists = sorted((t[2] for t in terms), key=len)
+                docs = lists[0]
+                for arr in lists[1:]:
+                    docs = docs[np.isin(docs, arr, assume_unique=True)]
+                    if docs.size == 0:
+                        break
+                if docs.size == 0:
+                    continue
+                scores = np.zeros(docs.size, dtype=np.float64)
+                for (_, idf2, docs2, contrib2, _) in terms:
+                    pos = np.searchsorted(docs2, docs)
+                    scores += idf2 * contrib2[pos]
+                sel_scores = (np.round(scores, round_scores)
+                              if round_scores is not None else scores)
+                take = min(k, docs.size)
+                order = np.lexsort((docs, -sel_scores))[:take]
+                out_q += [(query_id, k)] * take
+                out_d.append(docs[order])
+                out_s.append(scores[order])
                 continue
             # (term, idf, doc_ids, tf_norms, max_norm) sorted by U desc
             terms.sort(key=lambda x: -(x[1] * x[4]))
@@ -117,13 +144,16 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
               queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
               stem: bool = True,
               round_scores: int | None = 6,
-              corpus_stats: tuple[int, float] | None = None) -> DataFrame:
+              corpus_stats: tuple[int, float] | None = None,
+              conjunctive: bool = False) -> DataFrame:
     """Exact BM25 top-k via per-shard MaxScore over the packed index.
 
     Output schema identical to `bm25.bm25_topk`:
     (query_id, rank, doc_id, score). Pass ``corpus_stats=(n_docs, avgdl)``
     (e.g. cached by SearchEngine at warmup) to skip the doc_stats collect —
-    a warm query is then a single Spark job.
+    a warm query is then a single Spark job. ``conjunctive=True`` = AND
+    semantics (sorted posting-list intersection per shard), matching
+    `bm25.bm25_topk_conjunctive`.
     """
     qrows = analyzed_query_terms(queries, stem=stem)
     if corpus_stats is None:
@@ -141,7 +171,8 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
         per_query[query_id][0].append(term)
     queries_meta = [(q, ts, k) for q, (ts, k) in per_query.items()]
 
-    fn = _shard_topk(queries_meta, n_docs, avgdl, round_scores)
+    fn = _shard_topk(queries_meta, n_docs, avgdl, round_scores,
+                     conjunctive=conjunctive)
 
     def fn_typed(pdf: pd.DataFrame) -> pd.DataFrame:
         return fn(pdf)
