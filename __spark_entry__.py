@@ -35,6 +35,11 @@ from mini_distributed_search_engine_spark.operators.pagerank import (
     pagerank_fixed_query, pagerank_fixed_sql)
 from mini_distributed_search_engine_spark.query.bm25 import (
     AND_QUERY_SET, DEFAULT_QUERY_SET, bm25_topk, bm25_topk_conjunctive)
+from mini_distributed_search_engine_spark.functions.analyzer import (
+    term_positions_df)
+from mini_distributed_search_engine_spark.index.build import (
+    with_stable_doc_ids)
+from mini_distributed_search_engine_spark.query.phrase import phrase_match
 from mini_distributed_search_engine_spark.query.tfidf import (
     RERANK_QUERY_SET, tfidf_blend_topk, tfidf_rerank_topk)
 from mini_distributed_search_engine_spark.query.wand import wand_topk
@@ -156,6 +161,20 @@ def _tfidf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                              idx.docs, RERANK_QUERY_SET)
 
 
+def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional index rows (doc_id, term, pos) — pos over the
+    post-analyzer term sequence."""
+    docs = with_stable_doc_ids(transcripts_from_documents(spark, sf_dir))
+    return term_positions_df(docs, "text", stem=True)
+
+
+def _phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the positional index (beyond the reference,
+    whose count-only index cannot answer phrase queries)."""
+    docs = with_stable_doc_ids(transcripts_from_documents(spark, sf_dir))
+    return phrase_match(spark, term_positions_df(docs, "text", stem=True))
+
+
 def _term_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocomplete surface (Searcher.java:319-337 '/words' + client prefix
     filter): terms by document frequency under a prefix."""
@@ -200,6 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_blend_topk": _tfidf_blend,
         "tfidf_rerank_topk": _tfidf_rerank,
         "term_suggestions": _term_suggestions,
+        "term_positions": _positions,
+        "phrase_match": _phrase,
         "packed_roundtrip": _packed_roundtrip,
         "flame_groupby_salted": _groupby_salted,
         # Flame operator analogues (SURVEY.md §2.1)
@@ -283,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_blend_topk": O.sql_tfidf_blend_topk(stem=True),
         "tfidf_rerank_topk": O.sql_tfidf_rerank_topk(stem=True),
         "term_suggestions": O.sql_term_suggestions(stem=True),
+        "term_positions": O.sql_term_positions(stem=True),
+        "phrase_match": O.sql_phrase_match(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "flame_parallelize": (
             "SELECT * FROM (VALUES " + ", ".join(

@@ -139,6 +139,38 @@ def term_tokens_df(df: DataFrame, text_col: str = "text",
     return toks.where(~F.col("term").isin(*STOP_WORDS)).select(*kept, "term")
 
 
+def term_positions_df(df: DataFrame, text_col: str = "text",
+                      doc_col: str = "doc_id",
+                      stem: bool = True) -> DataFrame:
+    """(doc_id, term, pos) — the positional index rows.
+
+    ``pos`` is the 0-based index in the doc's POST-ANALYZER term sequence
+    (stop words and junk tokens removed before positions are assigned —
+    Lucene-style, so the phrase "fast key" matches the text "the fast key").
+    Same chain as `term_tokens_df` but with `posexplode` carrying the raw
+    token position through the filters; surviving positions are re-densified
+    with a per-doc window over the raw order.
+    """
+    from pyspark.sql import Window
+    toks = (
+        df.select(F.col(doc_col),
+                  F.posexplode(F.split(normalize_text(F.col(text_col)),
+                                       r"\s+")).alias("rpos", "tok"))
+        .where(F.col("tok") != "")
+        .where(~F.col("tok").isin(*STOP_WORDS))
+        .where(~F.col("tok").rlike("[0-9]"))
+        .where(F.length("tok") <= MAX_WORD_LEN)
+    )
+    if stem:
+        toks = toks.join(_stem_dict(toks), "tok")
+    else:
+        toks = toks.withColumn("term", F.col("tok"))
+    toks = toks.where(~F.col("term").isin(*STOP_WORDS))
+    w = Window.partitionBy(doc_col).orderBy("rpos")
+    return (toks.withColumn("pos", (F.row_number().over(w) - 1).cast("int"))
+            .select(doc_col, "term", "pos"))
+
+
 # ---------------------------------------------------------------------------
 # Plain-Python mirror (tests / brute-force oracle; NOT used on executors)
 # ---------------------------------------------------------------------------

@@ -23,6 +23,7 @@ from .functions.analyzer import MAX_WORD_LEN, STOP_WORDS, analyze
 from .functions.porter import porter_stem
 from .query.bm25 import (AND_QUERY_SET, DEFAULT_QUERY_SET, K1, B, Query,
                          analyzed_query_terms)
+from .query.phrase import PHRASE_QUERY_SET, phrase_terms
 from .query.tfidf import (N_EST, PR_CONST, RERANK_QUERY_SET, RESULT_CAP,
                           TFIDF_WEIGHT, THRESHOLD)
 from .sources.transcripts import derive_sql
@@ -231,6 +232,78 @@ ranked AS (
   WHERE sc.nhit = qn.nterms)
 SELECT query_id, rank, doc_id, score
 FROM ranked WHERE rank <= k"""
+
+
+# ---------------------------------------------------------------------------
+# Positional index + phrase search (query/phrase.py)
+# ---------------------------------------------------------------------------
+
+def _positions_ctes(stem: bool) -> str:
+    """CTE chain ending in ``seq(doc_id, term, pos)`` — the positional index
+    (pos over the post-analyzer term sequence, per analyzer semantics)."""
+    head = analyzed_terms_ctes(stem).split("rawtok AS")[0].rstrip().rstrip(",")
+    stop = stop_list_sql()
+    if stem:
+        term_expr = ("coalesce(psm.stem, CASE WHEN length(fp.tok) > {m} "
+                     "THEN substr(fp.tok, length(fp.tok) - {m} + 1) "
+                     "ELSE fp.tok END)").format(m=MAX_WORD_LEN)
+        stem_join = "LEFT JOIN stem_map psm ON psm.tok = fp.tok"
+    else:
+        term_expr, stem_join = "fp.tok", ""
+    return f"""{head},
+rawl AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(regexp_replace(lower(text),
+                '<[^>]+>', ' ', 'g'), '[^a-z0-9]+', ' ', 'g')), '\\s+') AS toks
+  FROM docs),
+rawtokp AS (SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS rpos FROM rawl),
+fp AS (
+  SELECT doc_id, tok, rpos FROM rawtokp
+  WHERE tok <> '' AND length(tok) <= {MAX_WORD_LEN}
+    AND NOT regexp_matches(tok, '[0-9]') AND tok NOT IN ({stop})),
+termp AS (SELECT fp.doc_id, {term_expr} AS term, fp.rpos FROM fp {stem_join}),
+selp AS (SELECT doc_id, term, rpos FROM termp WHERE term NOT IN ({stop})),
+seq AS (
+  SELECT doc_id, term,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY rpos) - 1
+              AS INT) AS pos
+  FROM selp)"""
+
+
+def sql_term_positions(stem: bool = True) -> str:
+    return _positions_ctes(stem) + "\nSELECT doc_id, term, pos FROM seq"
+
+
+def sql_phrase_match(stem: bool = True,
+                     queries: tuple = PHRASE_QUERY_SET) -> str:
+    qrows = phrase_terms(queries, stem=stem)
+    qpos = ", ".join(f"({_sql_str(q)}, {i}, {_sql_str(t)})"
+                     for q, i, t in qrows)
+    counts: dict[str, int] = {}
+    for q, _, _ in qrows:
+        counts[q] = counts.get(q, 0) + 1
+    qn = ", ".join(f"({_sql_str(q.query_id)}, {counts[q.query_id]}, {q.k})"
+                   for q in queries if q.query_id in counts)
+    return _positions_ctes(stem) + f""",
+qpos(query_id, i, term) AS (VALUES {qpos}),
+qn(query_id, n, k) AS (VALUES {qn}),
+adj AS (
+  SELECT q.query_id, s.doc_id, s.pos - q.i AS anchor, q.i
+  FROM seq s JOIN qpos q ON q.term = s.term),
+anchors AS (
+  SELECT query_id, doc_id, anchor, count(DISTINCT i) AS nh
+  FROM adj GROUP BY 1, 2, 3),
+occ AS (
+  SELECT a.query_id, qn.k, a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+  FROM anchors a JOIN qn ON qn.query_id = a.query_id
+  WHERE a.nh = qn.n GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT query_id, doc_id, n_occ, k,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY n_occ DESC, doc_id ASC) AS INT) AS rank
+  FROM occ)
+SELECT query_id, rank, doc_id, n_occ FROM ranked WHERE rank <= k"""
 
 
 # ---------------------------------------------------------------------------
