@@ -29,7 +29,7 @@ from mini_distributed_search_engine_spark.functions.multimodal import (
     attach_fake_media, extract_media_meta)
 from mini_distributed_search_engine_spark.index.build import build_index
 from mini_distributed_search_engine_spark.index.packed import (
-    build_packed_postings, merge_packed, unpack_to_rows)
+    append_packed, build_packed_postings, merge_packed, unpack_to_rows)
 from mini_distributed_search_engine_spark.operators import analytics, flame
 from mini_distributed_search_engine_spark.operators.pagerank import (
     pagerank_fixed_query, pagerank_fixed_sql)
@@ -201,6 +201,21 @@ def _packed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpack_to_rows(merge_packed(packed, level_factor=4))
 
 
+def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append: pack the first half of the doc space, append the
+    second half's postings (boundary-shard byte splice), decode back — must
+    equal the raw (term, doc_id, tf, dl) table, same oracle as the one-shot
+    round-trip."""
+    idx = _index(spark, sf_dir, stem=True)
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    cut = idx.docs.count() // 2
+    old_tf = idx.term_doc_tf.where(F.col("doc_id") < cut)
+    new_tf = idx.term_doc_tf.where(F.col("doc_id") >= cut)
+    old_packed = build_packed_postings(old_tf, avgdl, shard_span=128)
+    return unpack_to_rows(
+        append_packed(old_packed, new_tf, avgdl, shard_span=128))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # fulltext pipeline (transcripts derived from documents)
@@ -222,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_positions": _positions,
         "phrase_match": _phrase,
         "packed_roundtrip": _packed_roundtrip,
+        "packed_incremental_roundtrip": _packed_incremental,
         "flame_groupby_salted": _groupby_salted,
         # Flame operator analogues (SURVEY.md §2.1)
         "flame_parallelize": flame.parallelize_list,
@@ -307,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "term_positions": O.sql_term_positions(stem=True),
         "phrase_match": O.sql_phrase_match(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
+        "packed_incremental_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "flame_parallelize": (
             "SELECT * FROM (VALUES " + ", ".join(
                 f"({i}, '{w}')" for i, w in enumerate(flame.PARALLELIZE_DATA))

@@ -70,9 +70,14 @@ def build_packed_postings(term_doc_tf: DataFrame, avgdl: float,
 
     segments = (with_shard.groupBy("term", "shard_id")
                 .applyInPandas(encode_group, PACKED_SCHEMA))
-    # global df rides with every segment (the idf input at query time, so a
-    # query is one job) — computed over the tiny segments table, not the
-    # posting rows
+    return with_global_df(segments)
+
+
+def with_global_df(segments: DataFrame) -> DataFrame:
+    """(Re)compute each term's total df and ride it with every segment (the
+    idf input at query time, so a query is one job) — computed over the tiny
+    segments table, not the posting rows. Also the repair step after an
+    incremental append changes term totals."""
     totals = segments.groupBy("term").agg(
         F.sum("df").cast("long").alias("_gdf"))
     return (segments.drop("global_df").join(totals, "term")
@@ -92,7 +97,10 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
 
     def merge_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         term, new_shard = key
-        pdf = pdf.sort_values("shard_id")
+        # first_doc tiebreak: an incremental append can put TWO segments in
+        # the same (term, shard) — old and new doc ranges are disjoint, so
+        # first_doc orders the splice correctly
+        pdf = pdf.sort_values(["shard_id", "first_doc"])
         rows = pdf.to_dict("records")
         acc = rows[0]
         out_gaps = bytes(acc["doc_gaps"])
@@ -129,6 +137,41 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
                            (F.col("shard_id") / F.lit(level_factor)).cast("int"))
     return (lv.groupBy("term", "_new_shard")
             .applyInPandas(merge_group_typed, PACKED_SCHEMA))
+
+
+def append_packed(old_packed: DataFrame, new_term_doc_tf: DataFrame,
+                  avgdl: float,
+                  shard_span: int = DEFAULT_SHARD_SPAN) -> DataFrame:
+    """Incremental index append: fold NEW docs' postings into an existing
+    packed index without re-encoding the old segments.
+
+    Requires append-only doc identity: every new doc_id exceeds every old
+    doc_id (the stable-docID discipline gives this for appended
+    conversations, which sort after existing ones). New postings are
+    encoded into segments with the same shard_span; the union is then run
+    through a level_factor=1 merge, which is an identity for untouched
+    shards and a byte splice for the one boundary shard where old and new
+    doc ranges meet; term totals (the idf input) are recomputed over the
+    segment table. Posting bytes are identical to a full rebuild (gaps
+    depend only on docIDs/tfs/dls); only the advisory block-max metadata
+    reflects encode-time avgdl, which the query path no longer relies on
+    (wand.py derives exact bounds from decoded norms).
+    """
+    new_seg = build_packed_postings(new_term_doc_tf, avgdl,
+                                    shard_span=shard_span)
+    cols = [f.name for f in PACKED_SCHEMA.fields]
+    unioned = old_packed.select(*cols).unionByName(new_seg.select(*cols))
+    # Only the single boundary shard (where old and new doc ranges meet) can
+    # hold duplicate (term, shard) segments — splice just that shard and
+    # pass every other segment through untouched, so an append costs
+    # O(new data + one shard), not a rewrite of the whole index.
+    bshard = old_packed.agg(F.max("shard_id")).collect()[0][0]
+    if bshard is None:  # appending to an empty index
+        return with_global_df(new_seg)
+    untouched = unioned.where(F.col("shard_id") != F.lit(bshard))
+    spliced = merge_packed(unioned.where(F.col("shard_id") == F.lit(bshard)),
+                           level_factor=1)
+    return with_global_df(untouched.unionByName(spliced))
 
 
 def unpack_to_rows(packed: DataFrame) -> DataFrame:

@@ -59,7 +59,14 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
             contrib = tf_norm(dec.tfs, dec.dls, avgdl)
             idf = math.log(1.0 + (n_docs - r.global_df + 0.5)
                            / (r.global_df + 0.5))
-            decoded[r.term] = (idf, dec.doc_ids, contrib, float(r.max_tf_norm))
+            # The MaxScore upper bound is derived from the DECODED norms,
+            # not the segment's stored encode-time max_tf_norm: the stored
+            # bound was computed with the avgdl at encode time, which drifts
+            # after incremental appends — the derived bound is exact under
+            # any current avgdl (and this path decodes every selected
+            # segment anyway, so it costs one vector max).
+            mx = float(contrib.max()) if contrib.size else 0.0
+            decoded[r.term] = (idf, dec.doc_ids, contrib, mx)
         out_q, out_d, out_s = [], [], []
         for query_id, qterms, k in queries_meta:
             terms = [(t,) + decoded[t] for t in qterms if t in decoded]
