@@ -1,0 +1,83 @@
+"""Streaming index ingestion parity: draining a transcript file stream
+through the foreachBatch incremental-append sink must produce the same
+postings and the same query results as a one-shot batch build over the
+concatenated input."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from mini_distributed_search_engine_spark.index.build import build_index
+from mini_distributed_search_engine_spark.index.packed import (
+    build_packed_postings, unpack_to_rows)
+from mini_distributed_search_engine_spark.query.bm25 import Query
+from mini_distributed_search_engine_spark.query.wand import wand_topk
+from mini_distributed_search_engine_spark.sources.transcripts import (
+    synthesize_transcripts_pdf)
+from mini_distributed_search_engine_spark.streaming.indexing import (
+    StreamingIndexer, read_transcript_stream)
+
+SPAN = 64
+QUERIES = (Query("s1", "apple banana", k=30),
+           Query("s2", "spark shuffle partition", k=30))
+
+
+@pytest.fixture(scope="module")
+def stream_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream_idx")
+    yield root
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_stream_ingest_matches_batch_build(spark, stream_root):
+    pdf = synthesize_transcripts_pdf(45, seed=888)  # 180 turns
+    # three files, split on conv boundaries, in conv order (append-only);
+    # maxFilesPerTrigger=1 -> three micro-batches
+    src = Path(stream_root) / "in"
+    src.mkdir()
+    cuts = [(0, 60), (60, 120), (120, 180)]
+    for i, (lo, hi) in enumerate(cuts):
+        spark.createDataFrame(pdf.iloc[lo:hi]).coalesce(1).write.parquet(
+            str(src / f"part{i}.parquet"))
+
+    idx_root = Path(stream_root) / "idx"
+    indexer = StreamingIndexer(spark, str(idx_root), shard_span=SPAN)
+    q = indexer.start(read_transcript_stream(spark, str(src)))
+    q.awaitTermination(120)
+
+    meta = indexer._meta()
+    assert meta["n_docs"] == 180 and meta["generation"] == 3
+
+    # batch reference build over the same rows
+    idx = build_index(spark.createDataFrame(pdf))
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    batch_packed = build_packed_postings(idx.term_doc_tf, avgdl,
+                                         shard_span=SPAN)
+
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(unpack_to_rows(indexer.packed())) == \
+        rows(unpack_to_rows(batch_packed))
+
+    n, stream_avgdl = indexer.corpus_stats()
+    assert n == 180 and stream_avgdl == pytest.approx(avgdl, rel=1e-12)
+
+    a = rows(wand_topk(spark, indexer.packed(), indexer.doc_stats_df(),
+                       queries=QUERIES))
+    b = rows(wand_topk(spark, batch_packed, idx.doc_stats, queries=QUERIES))
+    assert a == b and len(a) > 0
+
+
+def test_stream_restart_is_idempotent(spark, stream_root):
+    """Re-running start() over the drained source must not re-append."""
+    idx_root = Path(stream_root) / "idx"
+    indexer = StreamingIndexer(spark, str(idx_root), shard_span=SPAN)
+    before = indexer._meta()
+    q = indexer.start(read_transcript_stream(
+        spark, str(Path(stream_root) / "in")))
+    q.awaitTermination(120)
+    after = indexer._meta()
+    assert after["n_docs"] == before["n_docs"]
+    assert after["generation"] == before["generation"]
