@@ -99,7 +99,8 @@ class StagedIndexBuild:
 
     # -- the pipeline --------------------------------------------------------
     def run(self, transcripts: DataFrame, stem: bool = True,
-            shard_span: int = 1 << 20, merge_factor: int = 8) -> dict[str, str]:
+            shard_span: int = 1 << 20, merge_factor: int = 8,
+            positions: bool = False) -> dict[str, str]:
         """Run all stages, skipping committed ones. Returns stage -> status."""
         status: dict[str, str] = {}
 
@@ -136,6 +137,28 @@ class StagedIndexBuild:
             self._commit("term_doc_tf", wall)
             tf.unpersist()
             status["term_doc_tf"] = "built"
+
+        if positions:
+            # optional positional index (phrase search); term-range-clustered
+            # like term_doc_tf so phrase-term IN-lists prune row groups
+            if self.is_committed("positions"):
+                status["positions"] = "skipped"
+            else:
+                from ..functions.analyzer import term_positions_df
+                t0 = time.perf_counter()
+                docs = self.read("docs", "data")
+                (term_positions_df(docs, "text", stem=stem)
+                 .repartitionByRange(
+                     self.spark.sparkContext.defaultParallelism,
+                     "term", "doc_id")
+                 .sortWithinPartitions("term", "doc_id", "pos")
+                 .write.mode("overwrite")
+                 .parquet(str(self._dir("positions") / "data")))
+                wall = int((time.perf_counter() - t0) * 1000)
+                self._lineage_simple("positions",
+                                     self.read("positions", "data"), wall)
+                self._commit("positions", wall)
+                status["positions"] = "built"
 
         if self.is_committed("stats"):
             status["stats"] = "skipped"

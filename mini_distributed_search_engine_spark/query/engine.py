@@ -8,6 +8,8 @@ session the way Searcher's startup warmed its IDF cache
 
     eng = SearchEngine(spark, index_root)           # from a StagedIndexBuild
     eng.search("spark shuffle", k=10)               # -> list of result rows
+    eng.search("spark shuffle", mode="and")         # conjunctive (AND)
+    eng.search_phrase("sort merge", k=10)           # exact phrase
     eng.search_batch([...Query...])                 # -> DataFrame
 """
 
@@ -15,7 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .bm25 import Query, bm25_topk
+from .bm25 import Query, bm25_topk, bm25_topk_conjunctive
+from .phrase import phrase_match
 from .wand import wand_topk
 
 
@@ -45,13 +48,22 @@ class SearchEngine:
                 f"{index_root}/stats/term_stats").cache()
             self.term_stats.count()
         self.docs = spark.read.parquet(f"{index_root}/docs/data")
+        self._index_root = index_root
+        self._positions: DataFrame | None = None
 
     def search_batch(self, queries: tuple[Query, ...],
-                     hydrate: bool = False) -> DataFrame:
+                     hydrate: bool = False, mode: str = "or") -> DataFrame:
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        conjunctive = mode == "and"
         if self.use_packed:
             out = wand_topk(self.spark, self.packed, self.doc_stats,
                             queries=queries,
-                            corpus_stats=self._corpus_stats)
+                            corpus_stats=self._corpus_stats,
+                            conjunctive=conjunctive)
+        elif conjunctive:
+            out = bm25_topk_conjunctive(self.spark, self.tf, self.term_stats,
+                                        self.doc_stats, queries=queries)
         else:
             out = bm25_topk(self.spark, self.tf, self.term_stats,
                             self.doc_stats, queries=queries)
@@ -64,6 +76,29 @@ class SearchEngine:
                 "conv_id", "turn_idx", "role", "snippet")
         return out
 
-    def search(self, text: str, k: int = 10, hydrate: bool = True) -> list:
-        df = self.search_batch((Query("q", text, k=k),), hydrate=hydrate)
+    def search(self, text: str, k: int = 10, hydrate: bool = True,
+               mode: str = "or") -> list:
+        df = self.search_batch((Query("q", text, k=k),), hydrate=hydrate,
+                               mode=mode)
+        return df.orderBy("rank").collect()
+
+    def _positions_df(self) -> DataFrame:
+        """Positional index: the pipeline's committed 'positions' stage if
+        present, else built once from the doc store and cached."""
+        if self._positions is None:
+            import os
+            stage = f"{self._index_root}/positions/data"
+            if os.path.isdir(stage):
+                self._positions = self.spark.read.parquet(stage).cache()
+            else:
+                from ..functions.analyzer import term_positions_df
+                self._positions = term_positions_df(
+                    self.docs, "text").cache()
+            self._positions.count()
+        return self._positions
+
+    def search_phrase(self, text: str, k: int = 10) -> list:
+        """Exact phrase search; rows (rank, doc_id, n_occ)."""
+        df = phrase_match(self.spark, self._positions_df(),
+                          (Query("q", text, k=k),))
         return df.orderBy("rank").collect()

