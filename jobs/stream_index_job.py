@@ -1,0 +1,54 @@
+"""spark-submit entrypoint: stream transcript parquet files into a packed
+inverted index via incremental appends (streaming/indexing.py sink).
+
+Usage:
+  spark-submit --py-files mdse.zip jobs/stream_index_job.py \\
+      --in /data/incoming_transcripts --out /data/stream_index \\
+      [--shard-span 1048576] [--follow]
+
+Without --follow the job drains whatever is in the source (availableNow)
+and exits — suitable for cron-style incremental refresh; with --follow it
+keeps watching the directory (micro-batch per arriving file).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mini_distributed_search_engine_spark.session import get_spark
+from mini_distributed_search_engine_spark.streaming.indexing import (
+    StreamingIndexer, read_transcript_stream)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--in", dest="input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--shard-span", type=int, default=1 << 20)
+    ap.add_argument("--follow", action="store_true",
+                    help="keep running instead of drain-and-exit")
+    args = ap.parse_args()
+
+    spark = get_spark("mdse-stream-index")
+    indexer = StreamingIndexer(spark, args.out, shard_span=args.shard_span)
+    stream = read_transcript_stream(spark, args.input)
+    if args.follow:
+        q = (stream.writeStream
+             .foreachBatch(indexer.process_batch)
+             .option("checkpointLocation", f"{args.out}/_checkpoint")
+             .start())
+        q.awaitTermination()
+    else:
+        q = indexer.start(stream)
+        q.awaitTermination()
+        n, avgdl = indexer.corpus_stats()
+        print(f"docs={n} avgdl={avgdl:.3f} "
+              f"generation={indexer._meta()['generation']}")
+
+
+if __name__ == "__main__":
+    main()

@@ -102,3 +102,18 @@ class SearchEngine:
         df = phrase_match(self.spark, self._positions_df(),
                           (Query("q", text, k=k),))
         return df.orderBy("rank").collect()
+
+    def suggest(self, prefix: str, n: int = 10) -> list[str]:
+        """Autocomplete: index terms under a prefix by descending document
+        frequency (Searcher.java:319-337 '/words' + the frontend's prefix
+        filter, server-side instead of shipping the whole vocabulary)."""
+        from pyspark.sql import functions as F
+        if not hasattr(self, "_term_stats_s"):
+            self._term_stats_s = self.spark.read.parquet(
+                f"{self._index_root}/stats/term_stats").cache()
+            self._term_stats_s.count()
+        rows = (self._term_stats_s
+                .where(F.col("term").startswith(prefix.lower()))
+                .orderBy(F.col("df").desc(), F.col("term").asc())
+                .limit(n).collect())
+        return [r["term"] for r in rows]

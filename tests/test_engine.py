@@ -86,3 +86,11 @@ def test_engine_and_mode_and_phrase(spark, index_root):
 
     with pytest.raises(ValueError):
         packed_eng.search_batch(qs, mode="not-a-mode")
+
+
+def test_engine_suggest(spark, index_root):
+    eng = SearchEngine(spark, index_root)
+    out = eng.suggest("s", n=5)
+    assert 0 < len(out) <= 5
+    assert all(t.startswith("s") for t in out)
+    assert out == eng.suggest("s", n=5)  # stable ordering
