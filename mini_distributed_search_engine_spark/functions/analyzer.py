@@ -139,6 +139,113 @@ def term_tokens_df(df: DataFrame, text_col: str = "text",
     return toks.where(~F.col("term").isin(*STOP_WORDS)).select(*kept, "term")
 
 
+def term_doc_tf_pandas(df: DataFrame, text_col: str = "text",
+                       doc_col: str = "doc_id",
+                       stem: bool = True,
+                       with_dl: bool = False) -> DataFrame:
+    """(term, doc_id, tf[, dl]) via a fused Arrow/pandas tokenize+count
+    pass — ZERO shuffle for the TF aggregation.
+
+    With ``with_dl=True`` the doc length (sum of kept tf) is also computed
+    in-pass — per-doc complete, so no dl groupBy/join downstream — and one
+    SENTINEL row ``(term=NULL, doc_id, tf=0, dl)`` is emitted per input doc
+    (including zero-term docs): ``WHERE term IS NULL`` recovers the dl
+    table, ``WHERE term IS NOT NULL`` the dl-denormalized postings, both as
+    narrow filters over one persisted pass.
+
+    Each document is one input row, so a doc's tokens never span Arrow
+    batches: a per-batch vectorized pandas groupby produces the doc's final
+    (term, tf) rows — partition-local, exact, no exchange. This is the
+    scale-out path: the JVM explode+groupBy alternative hash-exchanges
+    O(token occurrences) rows, and that wide shuffle is the piece that
+    scales worst with parallelism on shared memory bandwidth (measured:
+    the fused pass lifted 4->16-core build scaling efficiency). Everything
+    here is vectorized pandas str ops / numpy (no per-row Python); stemming
+    is memoized per unique token per partition via the same `porter_stem`
+    proven against the reference's Java stemmer.
+
+    Semantics identical to `term_tokens_df(...).groupBy(...).count()` — the
+    plain-Python `analyze` mirror is the shared spec, and equality is
+    pytest-enforced (tests/test_analyzer.py).
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tag_re, non_alnum_re = _TAG_RE, _NON_ALNUM_RE
+    stop = STOP_WORDS
+    digit_re = re.compile("[0-9]")
+
+    def gen(batches):
+        memo: dict[str, str] = {}
+
+        def stem_tok(t: str) -> str:
+            s = memo.get(t)
+            if s is None:
+                s = porter_stem(t)
+                if len(s) > MAX_WORD_LEN:
+                    s = s[-MAX_WORD_LEN:]
+                memo[t] = s
+            return s
+
+        for pdf in batches:
+            txt = (pdf[text_col].str.lower()
+                   .str.replace(tag_re, " ", regex=True)
+                   .str.replace(non_alnum_re, " ", regex=True)
+                   .str.strip())
+            toks = txt.str.split()
+            lens = toks.str.len().fillna(0).astype(np.int64)
+            flat = pd.DataFrame({
+                doc_col: np.repeat(pdf[doc_col].to_numpy(), lens),
+                "tok": np.concatenate(toks.to_numpy())
+                if int(lens.sum()) else np.empty(0, dtype=object),
+            })
+            if len(flat):
+                t = flat["tok"]
+                keep = (~t.isin(stop) & (t.str.len() <= MAX_WORD_LEN)
+                        & ~t.str.contains(digit_re, regex=True))
+                flat = flat[keep]
+            if stem and len(flat):
+                uniq = pd.unique(flat["tok"])
+                mapping = {u: stem_tok(u) for u in uniq}
+                flat = flat.assign(term=flat["tok"].map(mapping))
+            else:
+                flat = flat.assign(term=flat["tok"])
+            if len(flat):
+                flat = flat[~flat["term"].isin(stop)]
+            out = (flat.groupby([doc_col, "term"], sort=False)
+                   .size().reset_index(name="tf"))
+            if not with_dl:
+                yield pd.DataFrame({
+                    "term": out["term"],
+                    doc_col: out[doc_col].astype("int64"),
+                    "tf": out["tf"].astype("int64"),
+                })
+                continue
+            dl_by_doc = out.groupby(doc_col, sort=False)["tf"].sum()
+            all_docs = pdf[doc_col].astype("int64")
+            dl_full = all_docs.map(dl_by_doc).fillna(0).astype("int64")
+            yield pd.DataFrame({
+                "term": pd.concat([out["term"],
+                                   pd.Series([None] * len(all_docs))],
+                                  ignore_index=True),
+                doc_col: pd.concat([out[doc_col].astype("int64"), all_docs],
+                                   ignore_index=True),
+                "tf": pd.concat([out["tf"].astype("int64"),
+                                 pd.Series(0, index=range(len(all_docs)),
+                                           dtype="int64")],
+                                ignore_index=True),
+                "dl": pd.concat([out[doc_col].map(dl_by_doc).astype("int64"),
+                                 dl_full], ignore_index=True),
+            })
+
+    schema = f"term string, {doc_col} long, tf long"
+    if with_dl:
+        schema += ", dl long"
+    return df.select(doc_col, text_col).mapInPandas(gen, schema)
+
+
 def term_positions_df(df: DataFrame, text_col: str = "text",
                       doc_col: str = "doc_id",
                       stem: bool = True) -> DataFrame:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..functions.analyzer import term_tokens_df
+from ..functions.analyzer import term_doc_tf_pandas, term_tokens_df
 
 
 def with_stable_doc_ids(transcripts: DataFrame,
@@ -85,37 +85,56 @@ class IndexTables:
 
 
 def build_index(transcripts: DataFrame, stem: bool = True,
-                persist: bool = True) -> IndexTables:
+                persist: bool = True, arrow_tf: bool = True) -> IndexTables:
     docs_base = with_stable_doc_ids(transcripts)
-    # Occurrence rows -> ONE wide shuffle (groupBy term,doc_id with map-side
-    # partial agg). The stem-dictionary branch re-runs the narrow
-    # explode+filter scan, which measures CHEAPER than pre-aggregating
-    # (doc_id, tok) counts to share the scan: that shape needs a second wide
-    # exchange on ~the same row count, and codegen scans are far cheaper
-    # than exchanges.
-    terms = term_tokens_df(docs_base, "text", keep_cols=("doc_id",), stem=stem)
-    tf = (terms.groupBy("term", "doc_id")
-          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-    if persist:
-        # tf is the root every downstream table derives from (dl, stats,
-        # postings); persisting anything downstream of it would make docs /
-        # doc_stats re-run the whole analyze+aggregate chain.
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    if arrow_tf:
+        # Fused Arrow/pandas tokenize+count WITH in-pass doc lengths: each
+        # doc is one row, so TF and dl aggregate partition-locally with
+        # ZERO shuffle (analyzer.py term_doc_tf_pandas). Sentinel rows
+        # (term NULL) carry each doc's dl, so the dl table and the
+        # dl-denormalized postings are both narrow filters over ONE
+        # persisted pass — no dl groupBy, no postings-vs-dl join. The JVM
+        # alternative below hash-exchanges O(token occurrences) rows; that
+        # wide shuffle is what scales worst with parallelism on shared
+        # memory bandwidth.
+        root = term_doc_tf_pandas(docs_base, "text", stem=stem, with_dl=True)
+        if persist:
+            root = root.persist(StorageLevel.MEMORY_AND_DISK)
+        tf_dl = root.where(F.col("term").isNotNull())
+        dl = root.where(F.col("term").isNull()).select("doc_id", "dl")
+    else:
+        # Occurrence rows -> ONE wide shuffle (groupBy term,doc_id with
+        # map-side partial agg). Kept as the all-JVM reference plan; the
+        # stem-dictionary branch re-runs the narrow explode+filter scan,
+        # which measures cheaper than pre-aggregating (doc_id, tok) counts
+        # to share the scan (that shape needs a second wide exchange).
+        terms = term_tokens_df(docs_base, "text", keep_cols=("doc_id",),
+                               stem=stem)
+        root = (terms.groupBy("term", "doc_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+        if persist:
+            root = root.persist(StorageLevel.MEMORY_AND_DISK)
+        dl = root.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        tf_dl = root.join(dl, "doc_id")
     docs = (docs_base.join(dl, "doc_id", "left")
             .na.fill({"dl": 0})
             .withColumn("dl", F.col("dl").cast("long")))
-    tf_dl = tf.join(dl, "doc_id")  # only docs with >=1 term carry postings
-    term_stats = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
-    doc_stats = docs.agg(F.count("*").cast("long").alias("n_docs"),
-                         F.avg("dl").alias("avgdl"))
+    term_stats = tf_dl.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    # n_docs/avgdl from the dl table + a count of the (cached) doc source —
+    # no full docs-with-text join in the stats path
+    doc_stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl")) if arrow_tf else \
+        docs.agg(F.count("*").cast("long").alias("n_docs"),
+                 F.avg("dl").alias("avgdl"))
     postings = (
         tf_dl.groupBy("term")
         .agg(F.count("*").cast("long").alias("df"),
              F.sort_array(F.collect_list(F.struct("doc_id", "tf", "dl"))).alias("postings"))
     )
     return IndexTables(docs=docs, term_doc_tf=tf_dl, term_stats=term_stats,
-                       doc_stats=doc_stats, postings=postings, tf_root=tf)
+                       doc_stats=doc_stats, postings=postings, tf_root=root)
 
 
 def write_index(idx: IndexTables, path: str,

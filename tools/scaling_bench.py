@@ -19,26 +19,38 @@ from pathlib import Path
 ROOT = Path(__file__).resolve().parent.parent
 
 
-def run(cpus: int, turns: int, repeats: int = 2) -> dict:
-    """Best-of-N runs: the sandbox shares cores with other tenants, so min
-    wall is the least-noise estimate of the level's true throughput."""
-    best = None
+def run_once(cpus: int, turns: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
+               MDSE_BENCH_TURNS=str(turns), MDSE_BENCH_BUILD_ONLY="1")
+    out = subprocess.run([sys.executable, str(ROOT / "bench.py")], env=env,
+                         capture_output=True, text=True, timeout=1800)
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    print(f"  local[{cpus}]: {r['build_sec']}s "
+          f"({r['turns_per_sec']} turns/s)", flush=True)
+    return r
+
+
+def run_pair(n: int, turns: int, repeats: int = 3) -> tuple[dict, dict]:
+    """Best-of-N per level, INTERLEAVED (N, 4N, N, 4N, ...): the sandbox
+    shares cores with other tenants whose load drifts on minute scales, so
+    interleaving samples both levels under the same conditions and min wall
+    is the least-noise estimate of each level's true throughput."""
+    best_lo = best_hi = None
     for _ in range(repeats):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-                   MDSE_BENCH_TURNS=str(turns), MDSE_BENCH_BUILD_ONLY="1")
-        out = subprocess.run([sys.executable, str(ROOT / "bench.py")], env=env,
-                             capture_output=True, text=True, timeout=1800)
-        r = json.loads(out.stdout.strip().splitlines()[-1])
-        if best is None or r["build_sec"] < best["build_sec"]:
-            best = r
-    return best
+        r_lo = run_once(n, turns)
+        r_hi = run_once(4 * n, turns)
+        if best_lo is None or r_lo["build_sec"] < best_lo["build_sec"]:
+            best_lo = r_lo
+        if best_hi is None or r_hi["build_sec"] < best_hi["build_sec"]:
+            best_hi = r_hi
+    return best_lo, best_hi
 
 
 def main() -> None:
     turns = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
     n = int(os.environ.get("MDSE_SCALE_N", "4"))
-    r8 = run(n, turns)
-    r32 = run(4 * n, turns)
+    repeats = int(os.environ.get("MDSE_SCALE_REPEATS", "3"))
+    r8, r32 = run_pair(n, turns, repeats=repeats)
     tp8, tp32 = r8["turns_per_sec"], r32["turns_per_sec"]
     eff = (tp32 / tp8) / 4.0
     report = {
@@ -74,8 +86,17 @@ Notes:
 * Scaling runs are build-only (MDSE_BENCH_BUILD_ONLY=1); query latency is
   scheduling-floor-bound in local mode (~0.3 s/job) and reported by the
   regular `python bench.py` run instead.
+
+<!-- scaling-section-end -->
 """
-    (ROOT / "BENCH.md").write_text(md)
+    # Rewrite only the scaling section; preserve everything after the
+    # end marker (latency tables, full-bench JSON) across re-runs.
+    path = ROOT / "BENCH.md"
+    marker = "<!-- scaling-section-end -->"
+    tail = ""
+    if path.exists() and marker in path.read_text():
+        tail = path.read_text().split(marker, 1)[1]
+    path.write_text(md + tail)
     print("wrote BENCH.md")
 
 
