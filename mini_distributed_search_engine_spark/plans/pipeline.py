@@ -32,7 +32,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.analyzer import term_tokens_df
+from ..functions.analyzer import term_doc_tf_pandas
 from ..index.build import with_stable_doc_ids
 from ..index.packed import build_packed_postings, merge_packed
 
@@ -120,14 +120,13 @@ class StagedIndexBuild:
         else:
             t0 = time.perf_counter()
             docs = self.read("docs", "data")
-            terms = term_tokens_df(docs, "text", keep_cols=("doc_id",), stem=stem)
-            tf = (terms.groupBy("term", "doc_id")
-                  .agg(F.count(F.lit(1)).cast("long").alias("tf")))
-            tf = tf.persist()
-            dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-            dl.write.mode("overwrite").parquet(str(self._dir("term_doc_tf") / "dl"))
-            dl_r = self.read("term_doc_tf", "dl")
-            (tf.join(dl_r, "doc_id")
+            # fused zero-shuffle tokenize+TF+dl pass (see index/build.py)
+            tf = term_doc_tf_pandas(docs, "text", stem=stem,
+                                    with_dl=True).persist()
+            (tf.where(F.col("term").isNull()).select("doc_id", "dl")
+             .write.mode("overwrite")
+             .parquet(str(self._dir("term_doc_tf") / "dl")))
+            (tf.where(F.col("term").isNotNull())
              .repartitionByRange(self.spark.sparkContext.defaultParallelism,
                                  "term", "doc_id")
              .sortWithinPartitions("term", "doc_id")

@@ -70,3 +70,43 @@ def test_analyzer_invariants(text):
         assert 1 <= len(t) <= MAX_WORD_LEN
         assert t == t.lower()
         assert not any(c.isdigit() for c in t)
+
+
+# -- fused pandas analyzer vs the plain-Python spec -------------------------
+# (pure pandas, no Spark: drive the mapInPandas generator directly)
+
+texts = st.lists(st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    max_size=120), min_size=1, max_size=12)
+
+
+@settings(max_examples=120, deadline=None)
+@given(texts)
+def test_fused_pandas_tf_matches_analyze(docs):
+    import pandas as pd
+    from collections import Counter
+    from mini_distributed_search_engine_spark.functions import analyzer as A
+
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    # call the inner generator the way mapInPandas does
+    captured = {}
+
+    def fake_mapInPandas(gen, schema):
+        captured["gen"] = gen
+        return None
+
+    class Shim:
+        def select(self, *cols):
+            return self
+        mapInPandas = staticmethod(fake_mapInPandas)
+
+    A.term_doc_tf_pandas(Shim(), "text", stem=True, with_dl=True)
+    out = pd.concat(list(captured["gen"]([pdf])), ignore_index=True)
+
+    for doc_id, text in enumerate(docs):
+        exp = Counter(analyze(text, stem=True))
+        got_rows = out[(out.doc_id == doc_id) & out.term.notna()]
+        got = dict(zip(got_rows.term, got_rows.tf))
+        assert got == dict(exp), text
+        dl_rows = out[(out.doc_id == doc_id) & out.term.isna()]
+        assert len(dl_rows) == 1 and int(dl_rows.dl.iloc[0]) == sum(exp.values())
