@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from mini_distributed_search_engine_spark.index.build import build_index, write_index
 from mini_distributed_search_engine_spark.index.packed import (
-    build_packed_postings, merge_packed)
+    build_packed_postings_local, merge_packed)
 from mini_distributed_search_engine_spark.query.bm25 import Query, bm25_topk
 from mini_distributed_search_engine_spark.query.wand import wand_topk
 from mini_distributed_search_engine_spark.session import get_spark
@@ -99,12 +99,13 @@ def main() -> None:
         }))
         return
 
-    # ---- pack + merge (timed separately): varint segments + one merge level
+    # ---- pack + merge (timed separately): varint segments + one merge level.
+    # Partition-LOCAL encode over the doc-range-partitioned build root (no
+    # posting-row shuffle; only boundary shards are spliced segment-level).
     tp = time.perf_counter()
     avgdl = float(spark.read.parquet(str(out_dir / "doc_stats")).collect()[0]["avgdl"])
-    tf_disk = spark.read.parquet(str(out_dir / "term_doc_tf"))
-    packed = build_packed_postings(tf_disk, avgdl,
-                                   shard_span=max(4096, n_actual // (4 * cpus)))
+    packed = build_packed_postings_local(
+        idx.term_doc_tf, avgdl, shard_span=max(4096, n_actual // (4 * cpus)))
     merge_packed(packed, level_factor=4).write.mode("overwrite").parquet(
         str(out_dir / "packed"))
     pack_sec = time.perf_counter() - tp

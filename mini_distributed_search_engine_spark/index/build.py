@@ -31,14 +31,23 @@ def with_stable_doc_ids(transcripts: DataFrame,
                         num_partitions: int | None = None) -> DataFrame:
     """Assign dense docIDs 0..N-1 by (conv_id ASC, turn_idx ASC).
 
-    Two-phase, shuffle-once-per-phase, no global sort bottleneck:
-    range-repartition by the ordering key, count rows per range partition,
-    cumulative offsets on the driver (one long per partition), then a
-    partition-local row_number + offset. The range exchange guarantees
-    partition p's keys all precede partition p+1's, so offset+local index is
-    exactly the global dense rank. The materialized frame is persisted so the
-    sampled range bounds cannot differ between the count job and the final
-    plan.
+    ONE exchange total, no global sort bottleneck: range-repartition by the
+    ordering key + partition-local sort, count rows per range partition,
+    cumulative offsets on the driver (one long per partition), then
+    ``doc_id = offset[pid] + record_index_within_partition`` — the record
+    index read from `monotonically_increasing_id`'s documented layout
+    (partition id in the upper bits, record number in the lower 33), the
+    offsets attached via broadcast join. Both are NARROW, so unlike a
+    ``row_number() OVER (PARTITION BY pid)`` window (which inserts a
+    hash-on-pid exchange that also scrambles the range partitioning), the
+    output stays DOC-RANGE PARTITIONED — the invariant the shuffle-free
+    fused TF pass and partition-local segment encode build on. The range
+    exchange guarantees partition p's keys all precede partition p+1's, so
+    offset + local index is exactly the global dense rank. (Lower 33 bits
+    cap a partition at 2^33 rows — far beyond any sane partition size.)
+
+    The materialized frame is persisted so the sampled range bounds cannot
+    differ between the count job and the final plan.
     """
     spark = transcripts.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
@@ -49,6 +58,7 @@ def with_stable_doc_ids(transcripts: DataFrame,
     src = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
     ranged = (
         src.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+        .sortWithinPartitions("conv_id", "turn_idx")
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -60,9 +70,9 @@ def with_stable_doc_ids(transcripts: DataFrame,
         acc += counts[pid]
     offsets_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long")
-    w = Window.partitionBy("_pid").orderBy("conv_id", "turn_idx")
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     out = (
-        ranged.withColumn("_local", F.row_number().over(w) - F.lit(1))
+        ranged.withColumn("_local", local)
         .join(F.broadcast(offsets_df), "_pid")
         .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_offset")

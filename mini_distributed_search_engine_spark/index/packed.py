@@ -77,12 +77,109 @@ def with_global_df(segments: DataFrame) -> DataFrame:
     """(Re)compute each term's total df and ride it with every segment (the
     idf input at query time, so a query is one job) — computed over the tiny
     segments table, not the posting rows. Also the repair step after an
-    incremental append changes term totals."""
+    incremental append changes term totals.
+
+    The totals side is BROADCAST: without the hint the planner (blind to
+    the mapInPandas output size) picks a sort-merge join that shuffles
+    every segment's posting blobs; broadcasting the vocabulary-sized
+    (term, df) table keeps the blobs where they are. (A vocabulary too big
+    to broadcast would need a bucketed join instead — at 10M terms the
+    totals are still only hundreds of MB.)"""
     totals = segments.groupBy("term").agg(
         F.sum("df").cast("long").alias("_gdf"))
-    return (segments.drop("global_df").join(totals, "term")
+    return (segments.drop("global_df").join(F.broadcast(totals), "term")
             .withColumnRenamed("_gdf", "global_df")
             .select(*[f.name for f in PACKED_SCHEMA.fields]))
+
+
+def build_packed_postings_local(tf_dl: DataFrame, avgdl: float,
+                                shard_span: int = DEFAULT_SHARD_SPAN) -> DataFrame:
+    """Shuffle-free segment encode for DOC-RANGE-PARTITIONED input.
+
+    `build_index`'s fused TF root is partitioned by doc ranges (it is a
+    narrow map over the range-partitioned docs), so each partition holds
+    every posting of its doc range: encode (term, shard) runs per
+    partition with NO exchange of posting rows, then splice only the
+    shards that were split across a partition boundary (segment-level
+    work, same byte-splice as incremental append). The posting-row shuffle
+    of `build_packed_postings` — O(corpus) rows through an exchange — is
+    replaced by a segment-level exchange of the few boundary shards.
+
+    Memory: one partition's posting rows are held in pandas during encode;
+    size partitions (spark.sql.files.maxPartitionBytes / input splits)
+    accordingly — the usual ~128 MB splits are fine.
+
+    Byte-identical to `build_packed_postings` output (test-enforced).
+    """
+    def gen(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        all_ = pd.concat(parts, ignore_index=True)
+        if not len(all_):
+            return
+        all_["shard_id"] = (all_["doc_id"] // shard_span).astype("int32")
+        out = []
+        for (term, shard_id), g in all_.groupby(["term", "shard_id"],
+                                                sort=False):
+            enc = encode_postings(g["doc_id"].to_numpy(),
+                                  g["tf"].to_numpy(),
+                                  g["dl"].to_numpy(), avgdl)
+            out.append({
+                "term": term, "shard_id": int(shard_id),
+                "df": enc["df"], "global_df": 0,
+                "first_doc": enc["first_doc"],
+                "last_doc": int(enc["block_last_doc"][-1])
+                if enc["block_last_doc"] else 0,
+                "doc_gaps": enc["doc_gaps"], "tfs": enc["tfs"],
+                "dls": enc["dls"],
+                "block_last_doc": enc["block_last_doc"],
+                "block_max_tf_norm": enc["block_max_tf_norm"],
+                "max_tf_norm": enc["max_tf_norm"],
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in PACKED_SCHEMA.fields])
+
+    src = tf_dl.select("term", "doc_id", "tf", "dl")
+    # Boundary shards are TERM-INDEPENDENT: a shard needs splicing iff its
+    # doc range spans a partition boundary — at most one shard id per
+    # boundary, found from per-partition doc ranges with one tiny agg
+    # (no join against the blob-carrying segment rows).
+    ranges = (src.groupBy(F.spark_partition_id().alias("_pid"))
+              .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+              .collect())
+    ranges.sort(key=lambda r: r["lo"])
+    for prev, r in zip(ranges, ranges[1:]):
+        if int(r["lo"]) <= int(prev["hi"]):
+            raise ValueError(
+                "build_packed_postings_local requires doc-range-partitioned "
+                f"input, but partition doc ranges overlap: "
+                f"[{prev['lo']},{prev['hi']}] vs [{r['lo']},{r['hi']}] "
+                "(interleaved posting runs) — use build_packed_postings")
+    boundary_ids = sorted({
+        int(r["lo"]) // shard_span
+        for prev, r in zip(ranges, ranges[1:])
+        if int(r["lo"]) // shard_span == int(prev["hi"]) // shard_span})
+
+    segs = src.mapInPandas(gen, PACKED_SCHEMA)
+    # term totals from the SKINNY source rows (count of (term, doc) pairs ==
+    # sum of segment dfs), not from the segments: a with_global_df over the
+    # union would re-run the splice branch once for the totals aggregate and
+    # once for the join probe.
+    totals = src.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_gdf"))
+
+    def attach(df: DataFrame) -> DataFrame:
+        return (df.drop("global_df").join(F.broadcast(totals), "term")
+                .withColumnRenamed("_gdf", "global_df")
+                .select(*[f.name for f in PACKED_SCHEMA.fields]))
+
+    if not boundary_ids:
+        return attach(segs)
+    segs = segs.persist()
+    whole = segs.where(~F.col("shard_id").isin(boundary_ids))
+    spliced = merge_packed(segs.where(F.col("shard_id").isin(boundary_ids)),
+                           level_factor=1)
+    return attach(whole.unionByName(spliced))
 
 
 def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
@@ -95,48 +192,62 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
     original runs put them.
     """
 
-    def merge_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, new_shard = key
+    def merge_one(term, new_shard, g: pd.DataFrame) -> dict:
         # first_doc tiebreak: an incremental append can put TWO segments in
-        # the same (term, shard) — old and new doc ranges are disjoint, so
+        # the same (term, shard) -- old and new doc ranges are disjoint, so
         # first_doc orders the splice correctly
-        pdf = pdf.sort_values(["shard_id", "first_doc"])
-        rows = pdf.to_dict("records")
+        g = g.sort_values(["shard_id", "first_doc"])
+        rows = list(g.itertuples(index=False))
         acc = rows[0]
-        out_gaps = bytes(acc["doc_gaps"])
-        tfs = bytearray(bytes(acc["tfs"]))
-        dls = bytearray(bytes(acc["dls"]))
-        block_last = list(acc["block_last_doc"])
-        block_max = list(acc["block_max_tf_norm"])
-        df = int(acc["df"])
-        last_doc = int(acc["last_doc"])
-        max_norm = float(acc["max_tf_norm"])
+        out_gaps = bytes(acc.doc_gaps)
+        tfs = bytearray(bytes(acc.tfs))
+        dls = bytearray(bytes(acc.dls))
+        block_last = list(acc.block_last_doc)
+        block_max = list(acc.block_max_tf_norm)
+        df = int(acc.df)
+        last_doc = int(acc.last_doc)
+        max_norm = float(acc.max_tf_norm)
         for r in rows[1:]:
+            if int(r.first_doc) <= last_doc:
+                # guards build_packed_postings_local misuse: splicing is
+                # only valid when runs cover disjoint ascending doc ranges
+                raise ValueError(
+                    f"interleaved posting runs for term={term!r} "
+                    f"shard={acc.shard_id}: run starting at "
+                    f"{r.first_doc} overlaps previous end {last_doc} "
+                    "(input not doc-range partitioned?)")
             out_gaps = splice_gap_streams(0, out_gaps, last_doc,
-                                          int(r["first_doc"]), bytes(r["doc_gaps"]))
-            tfs += bytes(r["tfs"])
-            dls += bytes(r["dls"])
-            block_last += list(r["block_last_doc"])
-            block_max += list(r["block_max_tf_norm"])
-            df += int(r["df"])
-            last_doc = int(r["last_doc"])
-            max_norm = max(max_norm, float(r["max_tf_norm"]))
-        return pd.DataFrame([{
+                                          int(r.first_doc), bytes(r.doc_gaps))
+            tfs += bytes(r.tfs)
+            dls += bytes(r.dls)
+            block_last += list(r.block_last_doc)
+            block_max += list(r.block_max_tf_norm)
+            df += int(r.df)
+            last_doc = int(r.last_doc)
+            max_norm = max(max_norm, float(r.max_tf_norm))
+        return {
             "term": term, "shard_id": int(new_shard), "df": df,
-            "global_df": int(rows[0]["global_df"]),
-            "first_doc": int(rows[0]["first_doc"]), "last_doc": last_doc,
+            "global_df": int(acc.global_df),
+            "first_doc": int(acc.first_doc), "last_doc": last_doc,
             "doc_gaps": out_gaps, "tfs": bytes(tfs), "dls": bytes(dls),
             "block_last_doc": block_last, "block_max_tf_norm": block_max,
             "max_tf_norm": max_norm,
-        }])
+        }
 
-    def merge_group_typed(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        return merge_group(key, pdf.drop(columns=["_new_shard"]))
+    # ONE pandas group per target shard (not per (term, shard)): a merge
+    # group is all the terms of one merged shard, looped internally --
+    # thousands of tiny per-(term,shard) applyInPandas calls measure far
+    # slower than the same splice work batched per shard.
+    def merge_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        new_shard = int(key[0])
+        out = [merge_one(term, new_shard, g)
+               for term, g in pdf.groupby("term", sort=False)]
+        return pd.DataFrame(out, columns=[f.name for f in PACKED_SCHEMA.fields])
 
     lv = packed.withColumn("_new_shard",
                            (F.col("shard_id") / F.lit(level_factor)).cast("int"))
-    return (lv.groupBy("term", "_new_shard")
-            .applyInPandas(merge_group_typed, PACKED_SCHEMA))
+    return (lv.groupBy("_new_shard")
+            .applyInPandas(merge_shard, PACKED_SCHEMA))
 
 
 def append_packed(old_packed: DataFrame, new_term_doc_tf: DataFrame,
