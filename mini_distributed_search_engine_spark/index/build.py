@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -31,48 +31,92 @@ def with_stable_doc_ids(transcripts: DataFrame,
                         num_partitions: int | None = None) -> DataFrame:
     """Assign dense docIDs 0..N-1 by (conv_id ASC, turn_idx ASC).
 
-    ONE exchange total, no global sort bottleneck: range-repartition by the
-    ordering key + partition-local sort, count rows per range partition,
-    cumulative offsets on the driver (one long per partition), then
-    ``doc_id = offset[pid] + record_index_within_partition`` — the record
-    index read from `monotonically_increasing_id`'s documented layout
-    (partition id in the upper bits, record number in the lower 33), the
-    offsets attached via broadcast join. Both are NARROW, so unlike a
-    ``row_number() OVER (PARTITION BY pid)`` window (which inserts a
-    hash-on-pid exchange that also scrambles the range partitioning), the
+    AT MOST one exchange, usually zero: if a cheap two-column verification
+    pass shows the source is already clustered (sorted within partitions,
+    disjoint ascending ranges across them — the synthesizer, or any
+    conv/time-ordered table written in order), docIDs are assigned with NO
+    exchange at all; otherwise one range repartition + local sort. Either
+    way the id itself is ``offset[pid] + record_index_within_partition`` —
+    the record index read from `monotonically_increasing_id`'s documented
+    layout (partition id in the upper bits, record number in the lower 33),
+    per-partition offsets attached via broadcast join. Both are NARROW, so
+    unlike a ``row_number() OVER (PARTITION BY pid)`` window (which inserts
+    a hash-on-pid exchange that also scrambles the range partitioning), the
     output stays DOC-RANGE PARTITIONED — the invariant the shuffle-free
-    fused TF pass and partition-local segment encode build on. The range
-    exchange guarantees partition p's keys all precede partition p+1's, so
-    offset + local index is exactly the global dense rank. (Lower 33 bits
-    cap a partition at 2^33 rows — far beyond any sane partition size.)
-
-    The materialized frame is persisted so the sampled range bounds cannot
-    differ between the count job and the final plan.
+    fused TF pass and partition-local segment encode build on. (Lower 33
+    bits cap a partition at 2^33 rows — far beyond any sane partition
+    size.)
     """
     spark = transcripts.sparkSession
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
-    # Persist the input first: repartitionByRange SAMPLES its child to pick
-    # bounds, so an unpersisted source would be fully recomputed twice
-    # (sample pass + shuffle write) — expensive when the source is a Python
-    # synthesizer or a remote scan.
+    # Persist the input first: both the pre-clustered check below and (on
+    # the slow path) repartitionByRange's bound-sampling rescan the source —
+    # expensive when it is a Python synthesizer or a remote scan.
     src = transcripts.persist(StorageLevel.MEMORY_AND_DISK)
-    ranged = (
-        src.repartitionByRange(num_partitions, "conv_id", "turn_idx")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    counts = {r["_pid"]: r["cnt"] for r in
-              ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+
+    # PRE-CLUSTERED FAST PATH: if the source partitions are already sorted
+    # by (conv_id, turn_idx) WITHIN each partition and their key ranges are
+    # disjoint and ascending ACROSS partitions (true for the deterministic
+    # synthesizer and for any time/conv-ordered table written in order),
+    # the range exchange is a no-op — skip it entirely. One narrow
+    # two-column pass verifies the property; the range shuffle of the full
+    # corpus (text included) was the single most memory-bandwidth-bound
+    # stage of the build, and the one that scaled worst with cores.
+    keyed = src.select(
+        F.spark_partition_id().alias("_pid"),
+        F.struct("conv_id", "turn_idx").alias("_k"))
+    stats = (keyed.groupBy("_pid")
+             .agg(F.min("_k").alias("lo"), F.max("_k").alias("hi"),
+                  F.count(F.lit(1)).alias("cnt")).collect())
+    stats.sort(key=lambda r: (r["lo"]["conv_id"], r["lo"]["turn_idx"]))
+    disjoint = all(
+        (p["hi"]["conv_id"], p["hi"]["turn_idx"])
+        < (r["lo"]["conv_id"], r["lo"]["turn_idx"])
+        for p, r in zip(stats, stats[1:]))
+    pre_clustered = False
+    if disjoint and stats:
+        # verify within-partition sortedness (narrow, two columns)
+        def sorted_check(batches):
+            import pandas as pd
+            prev = None
+            ok = True
+            for pdf in batches:
+                keys = list(zip(pdf["conv_id"], pdf["turn_idx"]))
+                if keys:
+                    if prev is not None and keys[0] < prev:
+                        ok = False
+                    if any(b < a for a, b in zip(keys, keys[1:])):
+                        ok = False
+                    prev = keys[-1]
+            yield pd.DataFrame({"ok": [ok]})
+        oks = (src.select("conv_id", "turn_idx")
+               .mapInPandas(sorted_check, "ok boolean").collect())
+        pre_clustered = all(r["ok"] for r in oks)
+
+    if pre_clustered:
+        base = src
+        counts = {r["_pid"]: r["cnt"] for r in stats}
+        order = [r["_pid"] for r in stats]  # pids in KEY order, not pid order
+    else:
+        base = (
+            src.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        counts = {r["_pid"]: r["cnt"] for r in
+                  base.groupBy(F.spark_partition_id().alias("_pid"))
+                  .agg(F.count("*").alias("cnt")).collect()}
+        order = sorted(counts)  # range partitions: pid order == key order
     offsets, acc = {}, 0
-    for pid in sorted(counts):
+    for pid in order:
         offsets[pid] = acc
         acc += counts[pid]
     offsets_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long")
     local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
     out = (
-        ranged.withColumn("_local", local)
+        base.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_local", local)
         .join(F.broadcast(offsets_df), "_pid")
         .withColumn("doc_id", (F.col("_offset") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_offset")
