@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--shard-span", type=int, default=1 << 20)
     ap.add_argument("--merge-factor", type=int, default=8)
     ap.add_argument("--run-id", default=None)
+    ap.add_argument("--positions", action="store_true",
+                    help="also build the positional index stage (phrase search)")
     args = ap.parse_args()
 
     spark = get_spark("mdse-build")
@@ -42,7 +44,8 @@ def main() -> None:
         ap.error("need --documents or --synthesize-turns")
     pipe = StagedIndexBuild(spark, args.out, run_id=args.run_id)
     status = pipe.run(tr, shard_span=args.shard_span,
-                      merge_factor=args.merge_factor)
+                      merge_factor=args.merge_factor,
+                      positions=args.positions)
     for stage, st in status.items():
         print(f"{stage}: {st}")
 
