@@ -190,7 +190,10 @@ def term_doc_tf_pandas(df: DataFrame, text_col: str = "text",
             return s
 
         for pdf in batches:
-            txt = (pdf[text_col].str.lower()
+            # Null text rows must tokenize to [] (not NaN): a NaN in
+            # toks.to_numpy() crashes np.concatenate, and arbitrary
+            # --documents parquet can carry null text.
+            txt = (pdf[text_col].fillna("").str.lower()
                    .str.replace(tag_re, " ", regex=True)
                    .str.replace(non_alnum_re, " ", regex=True)
                    .str.strip())

@@ -27,12 +27,9 @@ K1 = 1.2
 B = 0.75
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized, <=10 passes)."""
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Byte length of each value's LEB128 encoding: ceil(bit_length/7), min 1."""
     v = np.asarray(values, dtype=np.uint64)
-    if v.size == 0:
-        return b""
-    # byte length of each value: ceil(bit_length / 7), min 1
     bl = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     while True:
@@ -42,6 +39,15 @@ def varint_encode(values: np.ndarray) -> bytes:
         bl[nz] += 1
         tmp = tmp >> np.uint64(7)
     np.maximum(bl, 1, out=bl)
+    return bl
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized, <=10 passes)."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    bl = varint_lengths(v)
     ends = np.cumsum(bl)
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
     starts = ends - bl
@@ -88,12 +94,31 @@ def tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
 
 
+def _block_byte_ends(values: np.ndarray) -> list[int]:
+    """Cumulative byte END offset of each BLOCK-sized group within the
+    varint stream of ``values`` — lets a reader slice out and decode one
+    block without touching the rest of the stream."""
+    n = values.size
+    if not n:
+        return []
+    ends = np.cumsum(varint_lengths(values))
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    idx = np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)
+    return ends[idx].tolist()
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
                     avgdl: float) -> dict:
     """Pack one sorted posting run into blobs + block metadata.
 
     Returns dict with keys: df, first_doc, doc_gaps, tfs, dls,
-    block_last_doc, block_max_tf_norm, max_tf_norm.
+    block_last_doc, block_max_tf_norm, max_tf_norm, plus per-block byte
+    end offsets (block_gap_ends / block_tf_ends / block_dl_ends) enabling
+    single-block decode, and enc_avgdl — the avgdl the block-max norms
+    were computed with, so a reader under a DRIFTED corpus avgdl (after
+    incremental appends) can rescale the stored bounds soundly:
+    tf_norm is increasing in avgdl and tf_norm(avgdl_now) <=
+    tf_norm(avgdl_enc) * max(1, avgdl_now/avgdl_enc) <= K1+1.
     """
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = np.asarray(doc_ids, dtype=np.int64)[order]
@@ -109,15 +134,22 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     block_last = doc_ids[np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)]
     block_max = np.array([norms[i * BLOCK:(i + 1) * BLOCK].max()
                           for i in range(n_blocks)], dtype=np.float64)
+    ugaps = gaps.astype(np.uint64)
+    utfs = tfs.astype(np.uint64)
+    udls = dls.astype(np.uint64)
     return {
         "df": int(n),
         "first_doc": int(doc_ids[0]) if n else 0,
-        "doc_gaps": varint_encode(gaps.astype(np.uint64)),
-        "tfs": varint_encode(tfs.astype(np.uint64)),
-        "dls": varint_encode(dls.astype(np.uint64)),
+        "doc_gaps": varint_encode(ugaps),
+        "tfs": varint_encode(utfs),
+        "dls": varint_encode(udls),
         "block_last_doc": block_last.tolist(),
         "block_max_tf_norm": block_max.tolist(),
         "max_tf_norm": float(norms.max()) if n else 0.0,
+        "block_gap_ends": _block_byte_ends(ugaps),
+        "block_tf_ends": _block_byte_ends(utfs),
+        "block_dl_ends": _block_byte_ends(udls),
+        "enc_avgdl": float(avgdl),
     }
 
 

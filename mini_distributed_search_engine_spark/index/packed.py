@@ -39,7 +39,20 @@ PACKED_SCHEMA = T.StructType([
     T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
     T.StructField("block_max_tf_norm", T.ArrayType(T.DoubleType()), False),
     T.StructField("max_tf_norm", T.DoubleType(), False),
+    # per-block byte END offsets into the three blobs — a reader can slice
+    # and decode a single 128-posting block (block-max WAND skipping)
+    T.StructField("block_gap_ends", T.ArrayType(T.LongType()), False),
+    T.StructField("block_tf_ends", T.ArrayType(T.LongType()), False),
+    T.StructField("block_dl_ends", T.ArrayType(T.LongType()), False),
+    # avgdl the block-max norms were computed with (bound rescale input
+    # when corpus avgdl drifts after appends; see codec.encode_postings)
+    T.StructField("enc_avgdl", T.DoubleType(), False),
 ])
+
+# encode_postings dict keys that map 1:1 onto PACKED_SCHEMA columns
+_ENC_KEYS = ("df", "first_doc", "doc_gaps", "tfs", "dls", "block_last_doc",
+             "block_max_tf_norm", "max_tf_norm", "block_gap_ends",
+             "block_tf_ends", "block_dl_ends", "enc_avgdl")
 
 DEFAULT_SHARD_SPAN = 1 << 20  # docs per shard; bounds any encode group size
 
@@ -58,15 +71,11 @@ def build_packed_postings(term_doc_tf: DataFrame, avgdl: float,
         term, shard_id = key
         enc = encode_postings(pdf["doc_id"].to_numpy(), pdf["tf"].to_numpy(),
                               pdf["dl"].to_numpy(), avgdl)
-        return pd.DataFrame([{
-            "term": term, "shard_id": int(shard_id),
-            "df": enc["df"], "global_df": 0, "first_doc": enc["first_doc"],
-            "last_doc": int(enc["block_last_doc"][-1]) if enc["block_last_doc"] else 0,
-            "doc_gaps": enc["doc_gaps"], "tfs": enc["tfs"], "dls": enc["dls"],
-            "block_last_doc": enc["block_last_doc"],
-            "block_max_tf_norm": enc["block_max_tf_norm"],
-            "max_tf_norm": enc["max_tf_norm"],
-        }])
+        row = {"term": term, "shard_id": int(shard_id), "global_df": 0,
+               "last_doc": int(enc["block_last_doc"][-1])
+               if enc["block_last_doc"] else 0}
+        row.update({k: enc[k] for k in _ENC_KEYS})
+        return pd.DataFrame([row])
 
     segments = (with_shard.groupBy("term", "shard_id")
                 .applyInPandas(encode_group, PACKED_SCHEMA))
@@ -125,18 +134,11 @@ def build_packed_postings_local(tf_dl: DataFrame, avgdl: float,
             enc = encode_postings(g["doc_id"].to_numpy(),
                                   g["tf"].to_numpy(),
                                   g["dl"].to_numpy(), avgdl)
-            out.append({
-                "term": term, "shard_id": int(shard_id),
-                "df": enc["df"], "global_df": 0,
-                "first_doc": enc["first_doc"],
-                "last_doc": int(enc["block_last_doc"][-1])
-                if enc["block_last_doc"] else 0,
-                "doc_gaps": enc["doc_gaps"], "tfs": enc["tfs"],
-                "dls": enc["dls"],
-                "block_last_doc": enc["block_last_doc"],
-                "block_max_tf_norm": enc["block_max_tf_norm"],
-                "max_tf_norm": enc["max_tf_norm"],
-            })
+            row = {"term": term, "shard_id": int(shard_id), "global_df": 0,
+                   "last_doc": int(enc["block_last_doc"][-1])
+                   if enc["block_last_doc"] else 0}
+            row.update({k: enc[k] for k in _ENC_KEYS})
+            out.append(row)
         yield pd.DataFrame(out, columns=[f.name for f in PACKED_SCHEMA.fields])
 
     src = tf_dl.select("term", "doc_id", "tf", "dl")
@@ -189,7 +191,15 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
     new shard_id = old shard_id DIV level_factor. Exactly reproduces what a
     full re-encode would produce (gaps are identical by construction); block
     metadata concatenates unchanged — block boundaries simply stay where the
-    original runs put them.
+    original runs put them (byte offsets are shifted to the merged stream).
+
+    Memory: grouping is per TARGET shard, so one pandas task holds every
+    term's segment blobs for level_factor * shard_span docs of postings —
+    at the defaults (8 * 1M postings, each a handful of varint bytes) tens
+    of MB per task. Size level_factor down (or shard_span at build time) if
+    executors are memory-tight; the per-(term, shard) grouping alternative
+    bounds memory at shard_span but measured far slower (thousands of tiny
+    applyInPandas groups).
     """
 
     def merge_one(term, new_shard, g: pd.DataFrame) -> dict:
@@ -204,9 +214,16 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
         dls = bytearray(bytes(acc.dls))
         block_last = list(acc.block_last_doc)
         block_max = list(acc.block_max_tf_norm)
+        gap_ends = list(acc.block_gap_ends)
+        tf_ends = list(acc.block_tf_ends)
+        dl_ends = list(acc.block_dl_ends)
         df = int(acc.df)
         last_doc = int(acc.last_doc)
         max_norm = float(acc.max_tf_norm)
+        # bound rescale uses max(1, avgdl_now/enc_avgdl): taking the MIN of
+        # merged runs' enc_avgdl over-corrects the other runs' bounds, which
+        # keeps them sound (larger upper bound, never smaller)
+        enc_avgdl = float(acc.enc_avgdl)
         for r in rows[1:]:
             if int(r.first_doc) <= last_doc:
                 # guards build_packed_postings_local misuse: splicing is
@@ -216,8 +233,16 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
                     f"shard={acc.shard_id}: run starting at "
                     f"{r.first_doc} overlaps previous end {last_doc} "
                     "(input not doc-range partitioned?)")
+            r_gaps = bytes(r.doc_gaps)
             out_gaps = splice_gap_streams(0, out_gaps, last_doc,
-                                          int(r.first_doc), bytes(r.doc_gaps))
+                                          int(r.first_doc), r_gaps)
+            # r's first varint was rewritten as a gap; its byte offsets
+            # shift by the accumulated prefix plus that length delta —
+            # together: the combined length minus r's own stream length
+            shift = len(out_gaps) - len(r_gaps)
+            gap_ends += [e + shift for e in r.block_gap_ends]
+            tf_ends += [e + len(tfs) for e in r.block_tf_ends]
+            dl_ends += [e + len(dls) for e in r.block_dl_ends]
             tfs += bytes(r.tfs)
             dls += bytes(r.dls)
             block_last += list(r.block_last_doc)
@@ -225,6 +250,7 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
             df += int(r.df)
             last_doc = int(r.last_doc)
             max_norm = max(max_norm, float(r.max_tf_norm))
+            enc_avgdl = min(enc_avgdl, float(r.enc_avgdl))
         return {
             "term": term, "shard_id": int(new_shard), "df": df,
             "global_df": int(acc.global_df),
@@ -232,6 +258,8 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
             "doc_gaps": out_gaps, "tfs": bytes(tfs), "dls": bytes(dls),
             "block_last_doc": block_last, "block_max_tf_norm": block_max,
             "max_tf_norm": max_norm,
+            "block_gap_ends": gap_ends, "block_tf_ends": tf_ends,
+            "block_dl_ends": dl_ends, "enc_avgdl": enc_avgdl,
         }
 
     # ONE pandas group per target shard (not per (term, shard)): a merge
@@ -276,9 +304,21 @@ def append_packed(old_packed: DataFrame, new_term_doc_tf: DataFrame,
     # hold duplicate (term, shard) segments — splice just that shard and
     # pass every other segment through untouched, so an append costs
     # O(new data + one shard), not a rewrite of the whole index.
-    bshard = old_packed.agg(F.max("shard_id")).collect()[0][0]
+    old_top = old_packed.agg(F.max("shard_id").alias("s"),
+                             F.max("last_doc").alias("d")).collect()[0]
+    bshard = old_top["s"]
     if bshard is None:  # appending to an empty index
         return with_global_df(new_seg)
+    # Validate the append-only precondition: new doc_ids below the old
+    # index's covered range would land duplicate (term, shard) segments in
+    # shards BELOW bshard, flow through `untouched` unmerged, and silently
+    # corrupt queries. Cheap check (two tiny aggs) — fail loudly instead.
+    new_min = new_term_doc_tf.agg(F.min("doc_id")).collect()[0][0]
+    if new_min is not None and int(new_min) <= int(old_top["d"]):
+        raise ValueError(
+            f"append_packed requires append-only doc identity: new min "
+            f"doc_id {new_min} <= existing max doc {old_top['d']} "
+            "(interleaved posting runs) — rebuild instead of appending")
     untouched = unioned.where(F.col("shard_id") != F.lit(bshard))
     spliced = merge_packed(unioned.where(F.col("shard_id") == F.lit(bshard)),
                            level_factor=1)

@@ -7,16 +7,21 @@ globally ranked is exact) -> global rank window. One Spark job: idf inputs
 (per-term global df) are stored IN the segments, and corpus stats
 (n_docs, avgdl) are a one-row collect at call time.
 
-Inside a shard (numpy, no per-posting Python): term-at-a-time MaxScore.
-Terms sorted by upper bound U_t = idf_t * max_tf_norm_t (precomputed segment
-metadata). Processing term i, every still-unscored doc lacks all of
+Inside a shard (numpy, no per-posting Python): term-at-a-time MaxScore with
+BLOCK-MAX skipping. Terms sorted by upper bound U_t = idf_t * ub_norm_t from
+the STORED segment metadata (no decode; rescaled soundly under avgdl drift —
+see _Seg). Processing term i, every still-unscored doc lacks all of
 t_1..t_{i-1}, so its best possible score is RB_i = sum_{j>=i} U_j; once
 RB_i < theta - eps (current k-th best minus half a rounding unit), no unseen
-doc can reach the ROUNDED top-k and we stop without decoding the remaining
-lists. The eps guard plus ranking on rounded scores with the (score DESC,
-doc_id ASC) tie-break keeps results engine-invariant under float association
-noise. Proven rank-identical to the exhaustive DataFrame path in
-tests/test_wand.py.
+doc can reach the ROUNDED top-k and we stop — the remaining terms' postings
+are never fully decoded. Candidates surviving the term loop are first
+screened against per-128-posting block maxima (exact own contribution +
+block upper bounds of the other terms), then scored exactly with the other
+terms decoding ONLY the blocks that contain surviving candidates (per-block
+byte offsets stored at encode time). The eps guard plus ranking on rounded
+scores with the (score DESC, doc_id ASC) tie-break keeps results
+engine-invariant under float association noise. Proven rank-identical to
+the exhaustive DataFrame path in tests/test_wand.py.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..index.codec import decode_postings, tf_norm
+from ..index.codec import BLOCK, K1, decode_postings, tf_norm, varint_decode
 from .bm25 import DEFAULT_QUERY_SET, Query, analyzed_query_terms
 
 CAND_SCHEMA = T.StructType([
@@ -40,6 +45,126 @@ CAND_SCHEMA = T.StructType([
     # needs no extra broadcast join (one fewer stage on the serving path)
     T.StructField("k", T.IntegerType(), False),
 ])
+
+
+class _Seg:
+    """One (term, shard) segment with LAZY decode.
+
+    Nothing is decoded at construction (new index format): MaxScore term
+    ordering and the stop test use the STORED block-max metadata, rescaled
+    soundly for avgdl drift after incremental appends (tf_norm is increasing
+    in avgdl, and tf_norm(a_now) <= tf_norm(a_enc) * max(1, a_now/a_enc),
+    always <= K1+1 — see codec.encode_postings). Posting bytes are decoded
+    on demand: `full()` for driver terms, single 128-posting `block()`
+    slices (via the stored per-block byte offsets) for lookup-only terms —
+    a hot term consulted only at k candidate docs decodes ~k blocks instead
+    of up to shard_span postings. Old-format segments (no byte offsets)
+    fall back to eager full decode with exact derived bounds.
+    """
+    __slots__ = ("idf", "df", "first_doc", "ub_norm", "avgdl",
+                 "_gaps", "_tfb", "_dlb", "_block_last", "_block_ub",
+                 "_gap_ends", "_tf_ends", "_dl_ends", "_full", "_blocks")
+
+    def __init__(self, r, n_docs: int, avgdl: float):
+        self.idf = math.log(1.0 + (n_docs - r.global_df + 0.5)
+                            / (r.global_df + 0.5))
+        self.df = int(r.df)
+        self.first_doc = int(r.first_doc)
+        self.avgdl = avgdl
+        self._gaps = bytes(r.doc_gaps)
+        self._tfb = bytes(r.tfs)
+        self._dlb = bytes(r.dls)
+        self._block_last = np.asarray(r.block_last_doc, dtype=np.int64)
+        self._full = None
+        self._blocks: dict[int, tuple] = {}
+        gap_ends = getattr(r, "block_gap_ends", None)
+        if gap_ends is None or (enc_avgdl := float(
+                getattr(r, "enc_avgdl", 0.0) or 0.0)) <= 0.0:
+            # old format: no offsets to skip with — decode eagerly, derive
+            # exact bounds from the decoded norms (original behavior)
+            self._gap_ends = self._tf_ends = self._dl_ends = None
+            docs, norms = self.full()
+            self.ub_norm = float(norms.max()) if norms.size else 0.0
+            self._block_ub = None
+            return
+        scale = max(1.0, avgdl / enc_avgdl)
+        self.ub_norm = min(K1 + 1.0, float(r.max_tf_norm) * scale)
+        self._block_ub = np.minimum(
+            K1 + 1.0, np.asarray(r.block_max_tf_norm, dtype=np.float64) * scale)
+        self._gap_ends = np.asarray(gap_ends, dtype=np.int64)
+        self._tf_ends = np.asarray(r.block_tf_ends, dtype=np.int64)
+        self._dl_ends = np.asarray(r.block_dl_ends, dtype=np.int64)
+
+    def full(self) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tf_norms) for the whole segment (memoized)."""
+        if self._full is None:
+            dec = decode_postings(self._gaps, self._tfb, self._dlb)
+            self._full = (dec.doc_ids,
+                          tf_norm(dec.tfs, dec.dls, self.avgdl))
+            self._blocks.clear()
+        return self._full
+
+    def _block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._blocks.get(b)
+        if got is None:
+            g0 = int(self._gap_ends[b - 1]) if b else 0
+            docs = np.cumsum(varint_decode(
+                self._gaps[g0:int(self._gap_ends[b])]).astype(np.int64))
+            if b:
+                docs += int(self._block_last[b - 1])
+            t0 = int(self._tf_ends[b - 1]) if b else 0
+            tfs = varint_decode(
+                self._tfb[t0:int(self._tf_ends[b])]).astype(np.int64)
+            d0 = int(self._dl_ends[b - 1]) if b else 0
+            dls = varint_decode(
+                self._dlb[d0:int(self._dl_ends[b])]).astype(np.int64)
+            got = (docs, tf_norm(tfs, dls, self.avgdl))
+            self._blocks[b] = got
+        return got
+
+    def lookup(self, docs: np.ndarray) -> np.ndarray:
+        """tf_norm at each of ``docs`` (sorted ascending), 0.0 where the
+        segment has no posting — decoding only the blocks that can contain
+        them."""
+        out = np.zeros(docs.size, dtype=np.float64)
+        if not self._block_last.size:
+            return out
+        if self._full is None and self._gap_ends is not None:
+            bidx = np.searchsorted(self._block_last, docs)
+            ok = (docs >= self.first_doc) & (bidx < self._block_last.size)
+            need = np.unique(bidx[ok])
+            if need.size * BLOCK >= self.df:
+                self.full()  # touching most blocks anyway: one-shot decode
+            else:
+                for b in need:
+                    sel = np.nonzero(ok & (bidx == b))[0]
+                    d, nrm = self._block(int(b))
+                    pos = np.searchsorted(d, docs[sel])
+                    pos_c = np.minimum(pos, d.size - 1)
+                    hit = d[pos_c] == docs[sel]
+                    out[sel[hit]] = nrm[pos_c[hit]]
+                return out
+        d, nrm = self.full()
+        pos = np.searchsorted(d, docs)
+        pos_c = np.minimum(pos, d.size - 1)
+        hit = d[pos_c] == docs
+        out[hit] = nrm[pos_c[hit]]
+        return out
+
+    def block_ub_at(self, docs: np.ndarray) -> np.ndarray:
+        """Sound upper bound of tf_norm at each doc: the (rescaled) block
+        max of the block that would contain it, 0 outside the segment's doc
+        range. No decode."""
+        out = np.zeros(docs.size, dtype=np.float64)
+        if self._block_ub is None:  # old format: derived per-segment max
+            ok = (docs >= self.first_doc) & (docs <= (
+                int(self._block_last[-1]) if self._block_last.size else -1))
+            out[ok] = self.ub_norm
+            return out
+        bidx = np.searchsorted(self._block_last, docs)
+        ok = (docs >= self.first_doc) & (bidx < self._block_last.size)
+        out[ok] = self._block_ub[bidx[ok]]
+        return out
 
 
 def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
@@ -53,41 +178,31 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
     eps = 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        decoded: dict[str, tuple] = {}
+        segs: dict[str, _Seg] = {}
         for r in pdf.itertuples(index=False):
-            dec = decode_postings(bytes(r.doc_gaps), bytes(r.tfs), bytes(r.dls))
-            contrib = tf_norm(dec.tfs, dec.dls, avgdl)
-            idf = math.log(1.0 + (n_docs - r.global_df + 0.5)
-                           / (r.global_df + 0.5))
-            # The MaxScore upper bound is derived from the DECODED norms,
-            # not the segment's stored encode-time max_tf_norm: the stored
-            # bound was computed with the avgdl at encode time, which drifts
-            # after incremental appends — the derived bound is exact under
-            # any current avgdl (and this path decodes every selected
-            # segment anyway, so it costs one vector max).
-            mx = float(contrib.max()) if contrib.size else 0.0
-            decoded[r.term] = (idf, dec.doc_ids, contrib, mx)
+            segs[r.term] = _Seg(r, n_docs, avgdl)
         out_q, out_d, out_s = [], [], []
         for query_id, qterms, k in queries_meta:
-            terms = [(t,) + decoded[t] for t in qterms if t in decoded]
+            terms = [(t, segs[t]) for t in qterms if t in segs]
             if not terms or k <= 0:
                 continue
             if conjunctive:
                 if len(terms) < len(qterms):
                     continue  # a term absent from this shard -> no doc here has it
-                # intersect smallest-first, then score the survivors exactly
-                lists = sorted((t[2] for t in terms), key=len)
-                docs = lists[0]
-                for arr in lists[1:]:
-                    docs = docs[np.isin(docs, arr, assume_unique=True)]
+                # drive with the RAREST term fully decoded; probe the others
+                # via selective block decode (membership: tf>=1 -> norm>0),
+                # so a hot term decodes only the blocks holding candidates
+                terms.sort(key=lambda x: x[1].df)
+                docs = terms[0][1].full()[0]
+                for _, seg in terms[1:]:
                     if docs.size == 0:
                         break
+                    docs = docs[seg.lookup(docs) > 0.0]
                 if docs.size == 0:
                     continue
                 scores = np.zeros(docs.size, dtype=np.float64)
-                for (_, idf2, docs2, contrib2, _) in terms:
-                    pos = np.searchsorted(docs2, docs)
-                    scores += idf2 * contrib2[pos]
+                for _, seg in terms:
+                    scores += seg.idf * seg.lookup(docs)  # blocks memoized
                 sel_scores = (np.round(scores, round_scores)
                               if round_scores is not None else scores)
                 take = min(k, docs.size)
@@ -96,29 +211,44 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 out_d.append(docs[order])
                 out_s.append(scores[order])
                 continue
-            # (term, idf, doc_ids, tf_norms, max_norm) sorted by U desc
-            terms.sort(key=lambda x: -(x[1] * x[4]))
-            ubs = np.array([idf * mx for _, idf, _, _, mx in terms])
+            # MaxScore, term-at-a-time, sorted by upper bound U desc
+            terms.sort(key=lambda x: -(x[1].idf * x[1].ub_norm))
+            ubs = np.array([seg.idf * seg.ub_norm for _, seg in terms])
             rem = np.cumsum(ubs[::-1])[::-1]  # RB_i = sum of U_j, j >= i
             pool_docs = np.empty(0, dtype=np.int64)
             pool_scores = np.empty(0, dtype=np.float64)
             theta = -math.inf
-            for i, (t, idf, docs_i, _, _) in enumerate(terms):
+            for i, (t, seg) in enumerate(terms):
                 if rem[i] < theta - eps:
                     break
+                docs_i, norms_i = seg.full()
                 if pool_docs.size:
                     new_mask = ~np.isin(docs_i, pool_docs, assume_unique=True)
                     new_docs = docs_i[new_mask]
+                    own = norms_i[new_mask]
                 else:
-                    new_docs = docs_i
+                    new_docs, own = docs_i, norms_i
                 if new_docs.size == 0:
                     continue
-                scores = np.zeros(new_docs.size, dtype=np.float64)
-                for (t2, idf2, docs2, contrib2, _) in terms:
-                    pos = np.searchsorted(docs2, new_docs)
-                    pos_c = np.minimum(pos, docs2.size - 1)
-                    hit = docs2[pos_c] == new_docs
-                    scores[hit] += idf2 * contrib2[pos_c[hit]]
+                own = seg.idf * own
+                if theta > -math.inf:
+                    # BLOCK-MAX prune: candidate's exact own contribution +
+                    # per-block upper bounds of every other term — docs that
+                    # can't reach the rounded top-k are dropped BEFORE the
+                    # exact lookups (and the lookup terms then decode fewer
+                    # blocks). Same eps discipline as the term-level stop.
+                    bound = own.copy()
+                    for j, (_, seg2) in enumerate(terms):
+                        if j != i:
+                            bound += seg2.idf * seg2.block_ub_at(new_docs)
+                    keep = bound >= theta - eps
+                    new_docs, own = new_docs[keep], own[keep]
+                    if new_docs.size == 0:
+                        continue
+                scores = own.copy()
+                for j, (_, seg2) in enumerate(terms):
+                    if j != i:
+                        scores += seg2.idf * seg2.lookup(new_docs)
                 pool_docs = np.concatenate([pool_docs, new_docs])
                 pool_scores = np.concatenate([pool_scores, scores])
                 if pool_docs.size >= k:

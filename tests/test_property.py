@@ -110,3 +110,33 @@ def test_fused_pandas_tf_matches_analyze(docs):
         assert got == dict(exp), text
         dl_rows = out[(out.doc_id == doc_id) & out.term.isna()]
         assert len(dl_rows) == 1 and int(dl_rows.dl.iloc[0]) == sum(exp.values())
+
+
+def test_fused_pandas_tf_tolerates_null_text():
+    """Arbitrary --documents parquet can carry null text: a NaN from
+    .str.split() must not reach np.concatenate (regression: crashed with
+    'zero-dimensional arrays cannot be concatenated')."""
+    import pandas as pd
+    from mini_distributed_search_engine_spark.functions import analyzer as A
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2, 3],
+                        "text": [None, "apple banana", float("nan"), ""]})
+    captured = {}
+
+    def fake_mapInPandas(gen, schema):
+        captured["gen"] = gen
+        return None
+
+    class Shim:
+        def select(self, *cols):
+            return self
+        mapInPandas = staticmethod(fake_mapInPandas)
+
+    A.term_doc_tf_pandas(Shim(), "text", stem=True, with_dl=True)
+    out = pd.concat(list(captured["gen"]([pdf])), ignore_index=True)
+    # null/empty docs contribute only their dl sentinel row, with dl=0
+    dl = out[out.term.isna()].set_index("doc_id")["dl"]
+    assert sorted(dl.index) == [0, 1, 2, 3]
+    assert dl[0] == 0 and dl[2] == 0 and dl[3] == 0 and dl[1] == 2
+    terms = out[out.term.notna()]
+    assert set(terms.doc_id) == {1}
