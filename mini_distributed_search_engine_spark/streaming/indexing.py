@@ -5,30 +5,52 @@ The reference has no streaming at all; its closest analogue is the crawler
 re-running the batch Indexer over a grown pt-crawl table. Spark-native
 shape: ``readStream`` over a transcript directory -> ``foreachBatch`` ->
 each micro-batch is analyzed, TF-aggregated, and folded into the existing
-packed index with `append_packed` (boundary-shard byte splice, O(batch)
-work). Appended conversations must sort after all existing ones (the
-append-only stable-docID discipline); each batch's docIDs continue from the
-running total.
+packed index with a boundary-shard byte splice (O(batch) work).
 
-The sink keeps index state in plain parquet under ``root/`` the same way
-`plans.pipeline.StagedIndexBuild` does, so a streaming-built index is
-readable by the same SearchEngine / wand_topk path, and parity with a
-one-shot batch build is testable (tests/test_streaming_index.py).
+STORAGE IS INCREMENTAL, O(batch) bytes per micro-batch: a generation is a
+MANIFEST of immutable segment parquet directories, not a rewritten copy of
+the whole index. Batch N writes only its own new segments (plus the one
+spliced boundary shard where old and new doc ranges meet) to ``segs_gN``;
+`_meta.json` records, per manifest entry, the doc-shard range it is still
+authoritative for — appending entry N with start shard b narrows every
+older entry to shards < b (the spliced boundary shard supersedes the old
+copy), and entries whose range becomes empty are pruned from the manifest
+and deleted from disk (bounded storage). Term totals (the BM25 idf input)
+are a vocabulary-sized side table rewritten per batch (O(vocab) << O(index)
+bytes). `packed()` reassembles the index as a UNION of shard-range-filtered
+manifest reads with the totals broadcast-joined on — readable by the same
+wand_topk / SearchEngine path, parity with a one-shot batch build is
+test-enforced (tests/test_streaming_index.py).
+
+Exactly-once across restarts: the generation only advances after the new
+segment parquet is fully written, and foreachBatch re-delivers an
+uncommitted batch on restart; the batch-id high-water-mark skip is guarded
+by a CHECKPOINT IDENTITY recorded in _meta.json — restarting with a
+different checkpointLocation over the same index root (batch ids restart
+at 0) fails loudly instead of silently dropping data.
+
+Appended conversations must sort after all existing ones (the append-only
+stable-docID discipline, validated by `append` via the new-vs-old doc range
+check); each batch's docIDs continue from the running total.
 """
 
 from __future__ import annotations
 
 import json
+import shutil
 import time
+from functools import reduce
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.analyzer import term_tokens_df
-from ..index.packed import append_packed, build_packed_postings
+from ..index.packed import (PACKED_SCHEMA, build_packed_postings,
+                            merge_packed, with_global_df)
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+_COLS = [f.name for f in PACKED_SCHEMA.fields]
 
 
 def read_transcript_stream(spark: SparkSession, input_dir: str,
@@ -50,6 +72,7 @@ class StreamingIndexer:
         self.root = Path(root)
         self.shard_span = shard_span
         self.root.mkdir(parents=True, exist_ok=True)
+        self._checkpoint_id: str | None = None
 
     # -- state ------------------------------------------------------------
     def _meta_path(self) -> Path:
@@ -58,16 +81,43 @@ class StreamingIndexer:
     def _meta(self) -> dict:
         if self._meta_path().exists():
             return json.loads(self._meta_path().read_text())
-        return {"n_docs": 0, "sum_dl": 0, "generation": 0}
+        return {"n_docs": 0, "sum_dl": 0, "generation": 0, "manifest": []}
 
     def _save_meta(self, meta: dict) -> None:
         tmp = self.root / "_meta.json.tmp"
         tmp.write_text(json.dumps(meta))
         tmp.rename(self._meta_path())
 
+    def _manifest(self, meta: dict) -> list[dict]:
+        man = meta.get("manifest")
+        if man is None:
+            # legacy full-copy layout (pre-manifest): one entry, whole range
+            man = ([{"path": f"packed_g{meta['generation']}",
+                     "start_shard": 0}]
+                   if int(meta.get("generation", 0)) > 0 else [])
+        return man
+
     def packed(self) -> DataFrame:
-        gen = self._meta()["generation"]
-        return self.spark.read.parquet(str(self.root / f"packed_g{gen}"))
+        """The current index: union of each manifest entry's authoritative
+        shard range, with per-term totals (idf input) joined on broadcast."""
+        meta = self._meta()
+        man = self._manifest(meta)
+        if not man:
+            return self.spark.createDataFrame([], PACKED_SCHEMA)
+        parts = []
+        for entry, nxt in zip(man, man[1:] + [None]):
+            df = self.spark.read.parquet(str(self.root / entry["path"]))
+            df = df.where(F.col("shard_id") >= int(entry["start_shard"]))
+            if nxt is not None:
+                df = df.where(F.col("shard_id") < int(nxt["start_shard"]))
+            parts.append(df.select(*_COLS))
+        seg = reduce(DataFrame.unionByName, parts)
+        totals_dir = self.root / f"totals_g{meta['generation']}"
+        if not totals_dir.is_dir():      # legacy root: derive from segments
+            return with_global_df(seg)
+        totals = self.spark.read.parquet(str(totals_dir))
+        return (seg.drop("global_df")
+                .join(F.broadcast(totals), "term").select(*_COLS))
 
     def corpus_stats(self) -> tuple[int, float]:
         m = self._meta()
@@ -83,14 +133,26 @@ class StreamingIndexer:
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Analyze the micro-batch, assign continuing docIDs, append.
 
-        Exactly-once across restarts: the generation counter in _meta.json
-        only advances after the new packed parquet is fully written, and
-        foreachBatch re-delivers an uncommitted batch on restart.
+        Writes O(batch + one boundary shard) segment bytes + O(vocab)
+        totals bytes; never rewrites committed segments.
         """
         meta = self._meta()
+        known = meta.get("checkpoint_id")
+        if self._checkpoint_id is not None:
+            if known is None:
+                meta["checkpoint_id"] = self._checkpoint_id  # adopt root
+            elif known != self._checkpoint_id:
+                raise RuntimeError(
+                    f"index root {self.root} was built from checkpoint "
+                    f"{known!r}, refusing batches from "
+                    f"{self._checkpoint_id!r}: restarted batch ids would "
+                    "alias committed ones and silently drop data. Reuse "
+                    "the original checkpointLocation or start a new root.")
         if meta.get("batch_id", -1) >= batch_id:
             return  # crash landed between meta commit and checkpoint commit:
-            # the redelivered batch is already folded in — skip (idempotent)
+            # the redelivered batch is already folded in — skip (idempotent;
+            # only valid because batch ids are monotone WITHIN a checkpoint,
+            # which the identity guard above enforces)
         base = int(meta["n_docs"])
         # docIDs continue the stable ordering WITHIN the batch; the source
         # must deliver conversations in non-decreasing order across batches
@@ -107,7 +169,7 @@ class StreamingIndexer:
         tf = (terms.groupBy("term", "doc_id")
               .agg(F.count(F.lit(1)).cast("long").alias("tf")))
         dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-        tf_dl = tf.join(dl, "doc_id")
+        tf_dl = tf.join(dl, "doc_id").persist()
 
         n_new = w_rows.count()
         if n_new == 0:
@@ -118,26 +180,84 @@ class StreamingIndexer:
         avgdl = new_sum / new_n
 
         gen = int(meta["generation"])
-        out = self.root / f"packed_g{gen + 1}"
-        if gen == 0:
-            packed = build_packed_postings(tf_dl, avgdl,
-                                           shard_span=self.shard_span)
+        man = list(self._manifest(meta))
+        new_seg = build_packed_postings(tf_dl, avgdl,
+                                        shard_span=self.shard_span)
+        seg_dir = f"segs_g{gen + 1}"
+        if not man:
+            out = new_seg
+            start = 0
         else:
-            old = self.spark.read.parquet(str(self.root / f"packed_g{gen}"))
-            packed = append_packed(old, tf_dl, avgdl,
-                                   shard_span=self.shard_span)
-        packed.write.mode("overwrite").parquet(str(out))
-        self._save_meta({"n_docs": new_n, "sum_dl": new_sum,
-                         "generation": gen + 1,
-                         "batch_id": int(batch_id),
-                         "updated_at": time.time()})
+            bshard = (base - 1) // self.shard_span  # old max covered shard
+            start = base // self.shard_span         # first shard this batch touches
+            if start == bshard:
+                # splice the one shard where old and new doc ranges meet
+                last = man[-1]
+                old_b = (self.spark.read.parquet(str(self.root / last["path"]))
+                         .where(F.col("shard_id") == bshard).select(*_COLS))
+                boundary = old_b.unionByName(
+                    new_seg.where(F.col("shard_id") == bshard).select(*_COLS))
+                out = (merge_packed(boundary, level_factor=1)
+                       .unionByName(new_seg.where(F.col("shard_id") > bshard)
+                                    .select(*_COLS)))
+            else:
+                out = new_seg
+        out.write.mode("overwrite").parquet(str(self.root / seg_dir))
+
+        # totals: old totals (+) this batch's per-term posting counts
+        new_tot = tf_dl.groupBy("term").agg(
+            F.count(F.lit(1)).cast("long").alias("global_df"))
+        old_tot_dir = self.root / f"totals_g{gen}"
+        if old_tot_dir.is_dir():
+            old_tot = self.spark.read.parquet(str(old_tot_dir))
+            merged = (old_tot.withColumnRenamed("global_df", "a")
+                      .join(new_tot.withColumnRenamed("global_df", "b"),
+                            "term", "full_outer")
+                      .select("term",
+                              (F.coalesce("a", F.lit(0)) +
+                               F.coalesce("b", F.lit(0))).alias("global_df")))
+        elif man:   # adopted legacy root: derive old totals from segments
+            legacy = with_global_df(reduce(DataFrame.unionByName, [
+                self.spark.read.parquet(str(self.root / e["path"]))
+                .select(*_COLS) for e in man]))
+            old_tot = (legacy.select("term", "global_df")
+                       .groupBy("term").agg(F.max("global_df")
+                                            .cast("long").alias("global_df")))
+            merged = (old_tot.withColumnRenamed("global_df", "a")
+                      .join(new_tot.withColumnRenamed("global_df", "b"),
+                            "term", "full_outer")
+                      .select("term",
+                              (F.coalesce("a", F.lit(0)) +
+                               F.coalesce("b", F.lit(0))).alias("global_df")))
+        else:
+            merged = new_tot
+        merged.write.mode("overwrite").parquet(
+            str(self.root / f"totals_g{gen + 1}"))
+        tf_dl.unpersist()
+
+        # narrow older entries: shards >= start now live in the new entry;
+        # trailing entries whose range became empty are dropped + deleted
+        dead = []
+        while man and int(man[-1]["start_shard"]) >= start:
+            dead.append(man.pop()["path"])
+        man.append({"path": seg_dir, "start_shard": int(start)})
+        meta.update({"n_docs": new_n, "sum_dl": new_sum,
+                     "generation": gen + 1, "batch_id": int(batch_id),
+                     "manifest": man, "updated_at": time.time()})
+        self._save_meta(meta)
+        # committed: garbage-collect superseded files (safe to re-crash
+        # here — they are no longer referenced by the manifest)
+        for p in dead:
+            shutil.rmtree(self.root / p, ignore_errors=True)
+        shutil.rmtree(old_tot_dir, ignore_errors=True)
 
     def start(self, stream_df: DataFrame, checkpoint: str | None = None):
         """availableNow: drain everything currently in the source, then stop
         (deterministic for tests; drop availableNow for a live stream)."""
+        cp = checkpoint or str(self.root / "_checkpoint")
+        self._checkpoint_id = cp
         return (stream_df.writeStream
                 .foreachBatch(self.process_batch)
-                .option("checkpointLocation",
-                        checkpoint or str(self.root / "_checkpoint"))
+                .option("checkpointLocation", cp)
                 .trigger(availableNow=True)
                 .start())
