@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d)),
         "embed_lsh_ann_topk": lambda s, d: S.lsh_ann_topk(_emb(s, d)),
         "embed_near_dup": lambda s, d: S.embedding_near_dup_pairs(_emb(s, d)),
+        "embed_near_dup_lsh": lambda s, d: S.embedding_near_dup_lsh(_emb(s, d)),
         "text_lang_id": lambda s, d: TS.lang_id(_docs(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_docs(s, d)),
         "doc_fingerprint": lambda s, d: TS.doc_fingerprint(_docs(s, d)),
@@ -386,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_topk": OM.sql_cosine_topk(),
         "embed_lsh_ann_topk": OM.sql_lsh_ann_topk(),
         "embed_near_dup": OM.sql_embedding_near_dup(),
+        "embed_near_dup_lsh": OM.sql_embedding_near_dup_lsh(),
         "text_lang_id": OM.sql_lang_id(),
         "text_quality": OM.sql_quality_score(),
         "doc_fingerprint": OM.sql_doc_fingerprint(),

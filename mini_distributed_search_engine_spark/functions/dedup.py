@@ -97,12 +97,23 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = BANDS,
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
-                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                        id_col: str = "doc_id", text_col: str = "text",
+                        max_shingle_df: int = 10_000) -> DataFrame:
     """(doc_a, doc_b, jaccard): exact k-gram Jaccard for every pair sharing
-    at least one shingle, thresholded. Join fan-out is bounded per shingle by
-    its doc frequency (hot shingles are the skew surface; AQE skew-join
-    handles them, and threshold pushes selectivity)."""
-    sh = _shingles_expr(docs, k, id_col, text_col)
+    at least one KEPT shingle, thresholded.
+
+    The self-join's fan-out per shingle is quadratic in its doc frequency
+    — one stop-phrase-like shingle with df=d contributes d^2/2 pairs, and
+    AQE's skew-join only splits partitions, it cannot shrink the pair
+    count. Standard df-cut: shingles with df > ``max_shingle_df`` are
+    dropped BEFORE the join (they carry ~no Jaccard signal — a shingle in
+    10k+ docs separates nothing) and, for consistency, before the per-doc
+    set sizes, so the result is the exact Jaccard over the df-filtered
+    shingle universe. The oracle applies the same cut."""
+    sh0 = _shingles_expr(docs, k, id_col, text_col)
+    dfreq = sh0.groupBy("shingle").agg(F.count("*").alias("_df"))
+    sh = (sh0.join(dfreq.where(F.col("_df") <= max_shingle_df), "shingle")
+          .select("doc_id", "shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -131,9 +131,10 @@ def lsh_ann_topk(embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2),
 
 def embedding_near_dup_pairs(embeddings: DataFrame,
                              threshold: float = 0.4) -> DataFrame:
-    """(vec_a, vec_b, cos): brute-force cosine near-duplicate pairs.
-    The LSH-bucketed variant (join on bucket instead of crossJoin) is the
-    scale path; brute force is the oracle-checkable baseline."""
+    """(vec_a, vec_b, cos): BRUTE-FORCE cosine near-duplicate pairs —
+    O(N^2), the recall oracle for `embedding_near_dup_lsh` and the
+    correctness baseline. Do not run at scale; the bucketed variant below
+    is the production path."""
     a = embeddings.select(F.col("vec_id").alias("vec_a"),
                           F.col("embedding").alias("ea"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"),
@@ -141,4 +142,30 @@ def embedding_near_dup_pairs(embeddings: DataFrame,
     pairs = a.crossJoin(b).where(F.col("vec_a") < F.col("vec_b"))
     return (pairs.select("vec_a", "vec_b",
                          F.round(_cos(F.col("ea"), F.col("eb")), 6).alias("cos"))
+            .where(F.col("cos") >= threshold))
+
+
+def embedding_near_dup_lsh(embeddings: DataFrame,
+                           threshold: float = 0.4) -> DataFrame:
+    """(vec_a, vec_b, cos): LSH-bucketed near-duplicate pairs — the scale
+    path. Candidate pairs are vectors sharing ANY hash table's sign-LSH
+    bucket (self-equi-join on (t, bucket): work is sum of bucket sizes
+    squared, never all-pairs; bucket count grows with N_PLANES if buckets
+    run hot), deduped, then exact-cosine-verified against the threshold.
+    Same deterministic hyperplane literals as `lsh_ann_topk`, so the
+    DuckDB oracle buckets identically; recall vs the brute-force pairs is
+    pytest-bounded."""
+    bucketed = lsh_buckets(embeddings).select("vec_id", "t", "bucket")
+    a = bucketed.select(F.col("vec_id").alias("vec_a"), "t", "bucket")
+    b = bucketed.select(F.col("vec_id").alias("vec_b"), "t", "bucket")
+    cand = (a.join(b, ["t", "bucket"])
+            .where(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b").distinct())
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"),
+                           F.col("embedding").alias("ea"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"),
+                           F.col("embedding").alias("eb"))
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b",
+                    F.round(_cos(F.col("ea"), F.col("eb")), 6).alias("cos"))
             .where(F.col("cos") >= threshold))

@@ -35,15 +35,20 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, hits): function-word voting; ties broken by lang
-    name ascending; zero hits -> 'und'."""
+    name ascending; zero hits -> 'und'.
+
+    Single pass over the exploded tokens: one broadcast join against the
+    tiny (marker, lang) table votes for every language at once (a marker
+    shared by two languages matches twice, same as independent counts) —
+    not one scan per language."""
     toks = token_stats(docs, id_col, text_col)
-    votes = None
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        v = (toks.where(F.col("tok").isin(*markers))
-             .groupBy("doc_id")
-             .agg(F.count("*").cast("long").alias("hits"))
-             .withColumn("lang_pred", F.lit(lang)))
-        votes = v if votes is None else votes.unionByName(v)
+    marker_rows = [(m, lang) for lang, ms in sorted(LANG_MARKERS.items())
+                   for m in ms]
+    markers = docs.sparkSession.createDataFrame(
+        marker_rows, "tok string, lang_pred string")
+    votes = (toks.join(F.broadcast(markers), "tok")
+             .groupBy("doc_id", "lang_pred")
+             .agg(F.count("*").cast("long").alias("hits")))
     from pyspark.sql import Window
     w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(),
                                              F.col("lang_pred").asc())

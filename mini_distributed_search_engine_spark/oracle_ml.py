@@ -72,12 +72,18 @@ FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id"""
 
 
-def sql_ngram_jaccard(k: int = 3, threshold: float = 0.5) -> str:
+def sql_ngram_jaccard(k: int = 3, threshold: float = 0.5,
+                      max_shingle_df: int = 10_000) -> str:
+    # mirrors the Spark df-cut: hot shingles are dropped before both the
+    # pair join and the per-doc set sizes
     return f"""
 WITH {_shingles_cte(k)},
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+dfq AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {max_shingle_df}),
+shf AS (SELECT doc_id, shingle FROM sh JOIN dfq USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
@@ -175,6 +181,31 @@ def sql_embedding_near_dup(threshold: float = 0.4) -> str:
 WITH pairs AS (SELECT a.vec_id AS query_vec_id, b.vec_id AS vec_id,
                       a.embedding AS qe, b.embedding
                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+{_COS_CTE}
+SELECT query_vec_id AS vec_a, vec_id AS vec_b, cos
+FROM sc WHERE cos >= {threshold}"""
+
+
+def sql_embedding_near_dup_lsh(threshold: float = 0.4) -> str:
+    return f"""
+WITH planes(t, j, i, w) AS (VALUES {_planes_values()}),
+un0 AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings),
+dots AS (SELECT vec_id, t, j, round(sum(x * w), 6) AS dot
+         FROM un0 JOIN planes USING (i) GROUP BY 1, 2, 3),
+bucketed AS (SELECT vec_id, t,
+                    CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << j)
+                             ELSE 0 END) AS BIGINT) AS bucket
+             FROM dots GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS qv, b.vec_id AS vv
+         FROM bucketed a JOIN bucketed b
+           ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+pairs AS (SELECT c.qv AS query_vec_id, c.vv AS vec_id,
+                 ea.embedding AS qe, eb.embedding
+          FROM cand c
+          JOIN embeddings ea ON ea.vec_id = c.qv
+          JOIN embeddings eb ON eb.vec_id = c.vv),
 {_COS_CTE}
 SELECT query_vec_id AS vec_a, vec_id AS vec_b, cos
 FROM sc WHERE cos >= {threshold}"""

@@ -72,3 +72,48 @@ def test_multimodal_plumbing(spark, dup_docs):
     assert 1 <= meta[0]["width"] <= 1920 and 1 <= meta[0]["height"] <= 1080
     with pytest.raises(NotImplementedError):
         decode_media(b"xx", "image/png", fake=False)
+
+
+def test_near_dup_lsh_recall_and_precision(spark):
+    """The bucketed near-dup path must (a) return only TRUE pairs — every
+    reported pair appears in brute force with the same cosine (candidates
+    are exact-verified, so precision is 1.0 by construction) — and (b)
+    recover most high-cosine pairs (sign-LSH collision probability rises
+    with cosine, so recall is graded by similarity)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {(r["vec_a"], r["vec_b"]): r["cos"]
+             for r in S.embedding_near_dup_pairs(emb, threshold=0.4).collect()}
+    lsh = {(r["vec_a"], r["vec_b"]): r["cos"]
+           for r in S.embedding_near_dup_lsh(emb, threshold=0.4).collect()}
+    assert lsh, "bucketed path found no pairs at all"
+    for pair, cos in lsh.items():
+        assert pair in brute and brute[pair] == cos  # exact verification
+    hi = {p for p, c in brute.items() if c >= 0.8}
+    if hi:
+        assert len(hi & set(lsh)) / len(hi) >= 0.5
+    assert len(set(lsh) & set(brute)) / len(brute) >= 0.3
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stop-phrase-like shingle present in EVERY doc must not create
+    O(n^2) pairs when it exceeds max_shingle_df: it is cut from both the
+    join and the set sizes, so only docs sharing RARE shingles pair up,
+    with Jaccard computed over the filtered shingle universe."""
+    hot = "the quick brown fox jumps"
+    rows = ([(i, f"{hot} unique{i} tail{i} words{i}") for i in range(8)]
+            + [(100, f"{hot} shared rare shingle one"),
+               (101, f"{hot} shared rare shingle two")])
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(
+               docs, threshold=0.1, max_shingle_df=5).collect()}
+    # every doc shares the hot shingles, but only (100, 101) share rare ones
+    assert set(got) == {(100, 101)}
+    # filtered universe: each of 100/101 keeps 4 shingles (the three
+    # every-doc shingles are cut; 'fox jumps shared', 'jumps shared rare',
+    # 'shared rare shingle' have df=2 and are kept, plus one unique tail),
+    # intersection 3 -> 3 / (4 + 4 - 3)
+    assert got[(100, 101)] == pytest.approx(3 / 5, abs=1e-6)
+    # uncapped: the hot shingles pair EVERY doc combination
+    uncapped = D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    assert len(uncapped) == 45
