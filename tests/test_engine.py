@@ -94,3 +94,30 @@ def test_engine_suggest(spark, index_root):
     assert 0 < len(out) <= 5
     assert all(t.startswith("s") for t in out)
     assert out == eng.suggest("s", n=5)  # stable ordering
+
+
+def test_serve_job_loop(spark, index_root):
+    """The stdin serving loop: warm engine, mixed request kinds, latencies
+    recorded, bad requests answered without killing the loop."""
+    import io
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+    from serve_job import serve
+
+    eng = SearchEngine(spark, index_root)
+    inp = io.StringIO("or 5 apple banana\n"
+                      "and 5 apple banana\n"
+                      "suggest 3 s\n"
+                      "stats\n"
+                      "phrase 5 apple banana\n"
+                      "or notanint bad request\n"
+                      "quit\n"
+                      "or 5 never reached\n")
+    out = io.StringIO()
+    lats = serve(eng, inp=inp, out=out)
+    text = out.getvalue()
+    assert len(lats) == 4  # or, and, suggest, phrase (stats/err untimed)
+    assert "rank=1" in text and "n_docs=" in text
+    assert "err\tValueError" in text
+    assert "never reached" not in text
