@@ -42,12 +42,15 @@ def varint_lengths(values: np.ndarray) -> np.ndarray:
     return bl
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized, <=10 passes)."""
+def varint_encode(values: np.ndarray,
+                  lengths: np.ndarray | None = None) -> bytes:
+    """LEB128-encode a uint64 array (vectorized, <=10 passes). Pass
+    ``lengths`` (from varint_lengths) to reuse an already-computed byte
+    length pass."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    bl = varint_lengths(v)
+    bl = varint_lengths(v) if lengths is None else lengths
     ends = np.cumsum(bl)
     out = np.zeros(int(ends[-1]), dtype=np.uint8)
     starts = ends - bl
@@ -94,17 +97,25 @@ def tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     return tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls.astype(np.float64) / avgdl))
 
 
-def _block_byte_ends(values: np.ndarray) -> list[int]:
-    """Cumulative byte END offset of each BLOCK-sized group within the
-    varint stream of ``values`` — lets a reader slice out and decode one
-    block without touching the rest of the stream."""
-    n = values.size
+def _block_byte_ends(lengths: np.ndarray) -> bytes:
+    """Cumulative byte END offset of each BLOCK-sized group within a varint
+    stream, given the per-value byte lengths — lets a reader slice out and
+    decode one block without touching the rest of the stream. PACKED as
+    little-endian int64 bytes (np.frombuffer to read): a plain binary cell
+    costs the columnar cache one copy, where an array<long> column pays
+    per-element boxing on every scan."""
+    n = lengths.size
     if not n:
-        return []
-    ends = np.cumsum(varint_lengths(values))
+        return b""
+    ends = np.cumsum(lengths)
     n_blocks = (n + BLOCK - 1) // BLOCK
     idx = np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)
-    return ends[idx].tolist()
+    return ends[idx].astype("<i8").tobytes()
+
+
+def block_ends_array(buf: bytes) -> np.ndarray:
+    """Decode a _block_byte_ends cell back to an int64 offset array."""
+    return np.frombuffer(buf, dtype="<i8")
 
 
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
@@ -137,18 +148,19 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     ugaps = gaps.astype(np.uint64)
     utfs = tfs.astype(np.uint64)
     udls = dls.astype(np.uint64)
+    gl, tl, dl_ = varint_lengths(ugaps), varint_lengths(utfs), varint_lengths(udls)
     return {
         "df": int(n),
         "first_doc": int(doc_ids[0]) if n else 0,
-        "doc_gaps": varint_encode(ugaps),
-        "tfs": varint_encode(utfs),
-        "dls": varint_encode(udls),
+        "doc_gaps": varint_encode(ugaps, gl),
+        "tfs": varint_encode(utfs, tl),
+        "dls": varint_encode(udls, dl_),
         "block_last_doc": block_last.tolist(),
         "block_max_tf_norm": block_max.tolist(),
         "max_tf_norm": float(norms.max()) if n else 0.0,
-        "block_gap_ends": _block_byte_ends(ugaps),
-        "block_tf_ends": _block_byte_ends(utfs),
-        "block_dl_ends": _block_byte_ends(udls),
+        "block_gap_ends": _block_byte_ends(gl),
+        "block_tf_ends": _block_byte_ends(tl),
+        "block_dl_ends": _block_byte_ends(dl_),
         "enc_avgdl": float(avgdl),
     }
 

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codec import BLOCK, decode_postings, encode_postings, splice_gap_streams, tf_norm
+from .codec import (BLOCK, block_ends_array, decode_postings, encode_postings,
+                    splice_gap_streams, tf_norm)
 
 PACKED_SCHEMA = T.StructType([
     T.StructField("term", T.StringType(), False),
@@ -39,11 +40,14 @@ PACKED_SCHEMA = T.StructType([
     T.StructField("block_last_doc", T.ArrayType(T.LongType()), False),
     T.StructField("block_max_tf_norm", T.ArrayType(T.DoubleType()), False),
     T.StructField("max_tf_norm", T.DoubleType(), False),
-    # per-block byte END offsets into the three blobs — a reader can slice
-    # and decode a single 128-posting block (block-max WAND skipping)
-    T.StructField("block_gap_ends", T.ArrayType(T.LongType()), False),
-    T.StructField("block_tf_ends", T.ArrayType(T.LongType()), False),
-    T.StructField("block_dl_ends", T.ArrayType(T.LongType()), False),
+    # per-block byte END offsets into the three blobs, packed as
+    # little-endian int64 bytes (codec.block_ends_array to read) — a reader
+    # can slice and decode a single 128-posting block (block-max WAND
+    # skipping). Binary, not array<long>: an array column would pay
+    # per-element boxing on every columnar-cache scan of the index.
+    T.StructField("block_gap_ends", T.BinaryType(), False),
+    T.StructField("block_tf_ends", T.BinaryType(), False),
+    T.StructField("block_dl_ends", T.BinaryType(), False),
     # avgdl the block-max norms were computed with (bound rescale input
     # when corpus avgdl drifts after appends; see codec.encode_postings)
     T.StructField("enc_avgdl", T.DoubleType(), False),
@@ -214,9 +218,9 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
         dls = bytearray(bytes(acc.dls))
         block_last = list(acc.block_last_doc)
         block_max = list(acc.block_max_tf_norm)
-        gap_ends = list(acc.block_gap_ends)
-        tf_ends = list(acc.block_tf_ends)
-        dl_ends = list(acc.block_dl_ends)
+        gap_ends = [block_ends_array(bytes(acc.block_gap_ends))]
+        tf_ends = [block_ends_array(bytes(acc.block_tf_ends))]
+        dl_ends = [block_ends_array(bytes(acc.block_dl_ends))]
         df = int(acc.df)
         last_doc = int(acc.last_doc)
         max_norm = float(acc.max_tf_norm)
@@ -240,9 +244,9 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
             # shift by the accumulated prefix plus that length delta —
             # together: the combined length minus r's own stream length
             shift = len(out_gaps) - len(r_gaps)
-            gap_ends += [e + shift for e in r.block_gap_ends]
-            tf_ends += [e + len(tfs) for e in r.block_tf_ends]
-            dl_ends += [e + len(dls) for e in r.block_dl_ends]
+            gap_ends.append(block_ends_array(bytes(r.block_gap_ends)) + shift)
+            tf_ends.append(block_ends_array(bytes(r.block_tf_ends)) + len(tfs))
+            dl_ends.append(block_ends_array(bytes(r.block_dl_ends)) + len(dls))
             tfs += bytes(r.tfs)
             dls += bytes(r.dls)
             block_last += list(r.block_last_doc)
@@ -258,8 +262,10 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
             "doc_gaps": out_gaps, "tfs": bytes(tfs), "dls": bytes(dls),
             "block_last_doc": block_last, "block_max_tf_norm": block_max,
             "max_tf_norm": max_norm,
-            "block_gap_ends": gap_ends, "block_tf_ends": tf_ends,
-            "block_dl_ends": dl_ends, "enc_avgdl": enc_avgdl,
+            "block_gap_ends": np.concatenate(gap_ends).astype("<i8").tobytes(),
+            "block_tf_ends": np.concatenate(tf_ends).astype("<i8").tobytes(),
+            "block_dl_ends": np.concatenate(dl_ends).astype("<i8").tobytes(),
+            "enc_avgdl": enc_avgdl,
         }
 
     # ONE pandas group per target shard (not per (term, shard)): a merge

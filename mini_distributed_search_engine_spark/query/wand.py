@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..index.codec import BLOCK, K1, decode_postings, tf_norm, varint_decode
+from ..index.codec import (BLOCK, K1, block_ends_array, decode_postings,
+                           tf_norm, varint_decode)
 from .bm25 import DEFAULT_QUERY_SET, Query, analyzed_query_terms
 
 CAND_SCHEMA = T.StructType([
@@ -63,7 +64,7 @@ class _Seg:
     """
     __slots__ = ("idf", "df", "first_doc", "ub_norm", "avgdl",
                  "_gaps", "_tfb", "_dlb", "_block_last", "_block_ub",
-                 "_gap_ends", "_tf_ends", "_dl_ends", "_full", "_blocks")
+                 "_gap_ends", "_tf_ends", "_dl_ends", "_full")
 
     def __init__(self, r, n_docs: int, avgdl: float):
         self.idf = math.log(1.0 + (n_docs - r.global_df + 0.5)
@@ -76,7 +77,6 @@ class _Seg:
         self._dlb = bytes(r.dls)
         self._block_last = np.asarray(r.block_last_doc, dtype=np.int64)
         self._full = None
-        self._blocks: dict[int, tuple] = {}
         gap_ends = getattr(r, "block_gap_ends", None)
         if gap_ends is None or (enc_avgdl := float(
                 getattr(r, "enc_avgdl", 0.0) or 0.0)) <= 0.0:
@@ -91,9 +91,9 @@ class _Seg:
         self.ub_norm = min(K1 + 1.0, float(r.max_tf_norm) * scale)
         self._block_ub = np.minimum(
             K1 + 1.0, np.asarray(r.block_max_tf_norm, dtype=np.float64) * scale)
-        self._gap_ends = np.asarray(gap_ends, dtype=np.int64)
-        self._tf_ends = np.asarray(r.block_tf_ends, dtype=np.int64)
-        self._dl_ends = np.asarray(r.block_dl_ends, dtype=np.int64)
+        self._gap_ends = block_ends_array(bytes(gap_ends))
+        self._tf_ends = block_ends_array(bytes(r.block_tf_ends))
+        self._dl_ends = block_ends_array(bytes(r.block_dl_ends))
 
     def full(self) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, tf_norms) for the whole segment (memoized)."""
@@ -101,26 +101,41 @@ class _Seg:
             dec = decode_postings(self._gaps, self._tfb, self._dlb)
             self._full = (dec.doc_ids,
                           tf_norm(dec.tfs, dec.dls, self.avgdl))
-            self._blocks.clear()
         return self._full
 
-    def _block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
-        got = self._blocks.get(b)
-        if got is None:
-            g0 = int(self._gap_ends[b - 1]) if b else 0
-            docs = np.cumsum(varint_decode(
-                self._gaps[g0:int(self._gap_ends[b])]).astype(np.int64))
-            if b:
-                docs += int(self._block_last[b - 1])
-            t0 = int(self._tf_ends[b - 1]) if b else 0
-            tfs = varint_decode(
-                self._tfb[t0:int(self._tf_ends[b])]).astype(np.int64)
-            d0 = int(self._dl_ends[b - 1]) if b else 0
-            dls = varint_decode(
-                self._dlb[d0:int(self._dl_ends[b])]).astype(np.int64)
-            got = (docs, tf_norm(tfs, dls, self.avgdl))
-            self._blocks[b] = got
-        return got
+    def _bulk_blocks(self, need: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Decode ONLY blocks ``need`` (sorted ascending): slice their byte
+        ranges out of the three streams, join, and run ONE vectorized
+        varint pass over the combined buffer — cost is proportional to the
+        touched blocks' bytes, not the segment. Per-block absolute docIDs
+        are rebuilt from the one global cumsum by subtracting each block's
+        inherited prefix and adding its base (the previous block's last
+        doc). The combined doc array is globally ascending (blocks cover
+        ascending doc ranges), so callers can binary-search it directly."""
+        ge, te, de = self._gap_ends, self._tf_ends, self._dl_ends
+        g0 = np.where(need > 0, ge[need - 1], 0)
+        t0 = np.where(need > 0, te[need - 1], 0)
+        d0 = np.where(need > 0, de[need - 1], 0)
+        gbuf = b"".join([self._gaps[a:b] for a, b in zip(g0, ge[need])])
+        gaps = varint_decode(gbuf).astype(np.int64)
+        tfs = varint_decode(b"".join(
+            [self._tfb[a:b] for a, b in zip(t0, te[need])])).astype(np.int64)
+        dls = varint_decode(b"".join(
+            [self._dlb[a:b] for a, b in zip(d0, de[need])])).astype(np.int64)
+        # per-block VALUE counts from the varint terminator bytes (block
+        # sizes are irregular after merges: splices keep original block
+        # boundaries) — one vectorized pass over the touched bytes
+        barr = np.frombuffer(gbuf, dtype=np.uint8)
+        end_cum = np.cumsum((barr & 0x80) == 0)
+        byte_ends = np.cumsum((ge[need] - g0).astype(np.int64))
+        cnt = end_cum[byte_ends - 1]
+        sizes = np.diff(np.concatenate([[0], cnt]))
+        starts = np.concatenate([[0], cnt[:-1]])
+        csum = np.cumsum(gaps)
+        prev_csum = np.where(starts > 0, csum[starts - 1], 0)
+        base = np.where(need > 0, self._block_last[need - 1], 0)
+        docs = csum + np.repeat(base - prev_csum, sizes)
+        return docs, tf_norm(tfs, dls, self.avgdl)
 
     def lookup(self, docs: np.ndarray) -> np.ndarray:
         """tf_norm at each of ``docs`` (sorted ascending), 0.0 where the
@@ -133,16 +148,17 @@ class _Seg:
             bidx = np.searchsorted(self._block_last, docs)
             ok = (docs >= self.first_doc) & (bidx < self._block_last.size)
             need = np.unique(bidx[ok])
-            if need.size * BLOCK >= self.df:
-                self.full()  # touching most blocks anyway: one-shot decode
+            if need.size == 0:
+                return out
+            if need.size * BLOCK * 2 >= self.df:
+                self.full()  # touching most of the segment: one-shot decode
             else:
-                for b in need:
-                    sel = np.nonzero(ok & (bidx == b))[0]
-                    d, nrm = self._block(int(b))
-                    pos = np.searchsorted(d, docs[sel])
-                    pos_c = np.minimum(pos, d.size - 1)
-                    hit = d[pos_c] == docs[sel]
-                    out[sel[hit]] = nrm[pos_c[hit]]
+                d, nrm = self._bulk_blocks(need)
+                sel = np.nonzero(ok)[0]
+                pos = np.searchsorted(d, docs[sel])
+                pos_c = np.minimum(pos, d.size - 1)
+                hit = d[pos_c] == docs[sel]
+                out[sel[hit]] = nrm[pos_c[hit]]
                 return out
         d, nrm = self.full()
         pos = np.searchsorted(d, docs)
@@ -231,12 +247,29 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 if new_docs.size == 0:
                     continue
                 own = seg.idf * own
-                if theta > -math.inf:
+                # SEED theta before any lookups: own contributions are
+                # LOWER bounds of the candidates' final scores (BM25 terms
+                # are non-negative), so the k-th largest of (final pool
+                # scores ++ own) lower-bounds the final k-th best — valid
+                # for pruning even on the FIRST driver term, where the old
+                # theta (-inf until k docs were fully scored) forced exact
+                # lookups of every candidate in every hot term.
+                cand_lb = (np.concatenate([pool_scores, own])
+                           if pool_scores.size else own)
+                if cand_lb.size >= k:
+                    theta = max(theta, float(np.partition(cand_lb, -k)[-k]))
+                if theta > -math.inf and any(
+                        s._full is None for j, (_, s) in enumerate(terms)
+                        if j != i):
                     # BLOCK-MAX prune: candidate's exact own contribution +
                     # per-block upper bounds of every other term — docs that
                     # can't reach the rounded top-k are dropped BEFORE the
                     # exact lookups (and the lookup terms then decode fewer
                     # blocks). Same eps discipline as the term-level stop.
+                    # Only worth it while some lookup term is still
+                    # undecoded — once every term is fully decoded the
+                    # bound pass costs as much as the exact lookups it
+                    # would save.
                     bound = own.copy()
                     for j, (_, seg2) in enumerate(terms):
                         if j != i:

@@ -11,20 +11,23 @@ import numpy as np
 import pytest
 
 from mini_distributed_search_engine_spark.index.codec import (
-    BLOCK, decode_postings, encode_postings, tf_norm, varint_decode)
+    BLOCK, block_ends_array, decode_postings, encode_postings, tf_norm,
+    varint_decode)
 from mini_distributed_search_engine_spark.query.wand import _Seg
 
 
 def _decode_block(enc: dict, b: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    g0 = enc["block_gap_ends"][b - 1] if b else 0
-    docs = np.cumsum(varint_decode(
-        enc["doc_gaps"][g0:enc["block_gap_ends"][b]]).astype(np.int64))
+    ge = block_ends_array(enc["block_gap_ends"])
+    te = block_ends_array(enc["block_tf_ends"])
+    de = block_ends_array(enc["block_dl_ends"])
+    g0 = ge[b - 1] if b else 0
+    docs = np.cumsum(varint_decode(enc["doc_gaps"][g0:ge[b]]).astype(np.int64))
     if b:
         docs += int(enc["block_last_doc"][b - 1])
-    t0 = enc["block_tf_ends"][b - 1] if b else 0
-    tfs = varint_decode(enc["tfs"][t0:enc["block_tf_ends"][b]]).astype(np.int64)
-    d0 = enc["block_dl_ends"][b - 1] if b else 0
-    dls = varint_decode(enc["dls"][d0:enc["block_dl_ends"][b]]).astype(np.int64)
+    t0 = te[b - 1] if b else 0
+    tfs = varint_decode(enc["tfs"][t0:te[b]]).astype(np.int64)
+    d0 = de[b - 1] if b else 0
+    dls = varint_decode(enc["dls"][d0:de[b]]).astype(np.int64)
     return docs, tfs, dls
 
 
@@ -36,9 +39,9 @@ def test_block_slices_reassemble_full_stream():
     dls = rng.integers(1, 200, size=n).astype(np.int64)
     enc = encode_postings(doc_ids, tfs, dls, avgdl=37.5)
     n_blocks = (n + BLOCK - 1) // BLOCK
-    assert len(enc["block_gap_ends"]) == n_blocks
-    assert enc["block_gap_ends"][-1] == len(enc["doc_gaps"])
-    assert enc["block_tf_ends"][-1] == len(enc["tfs"])
+    assert len(block_ends_array(enc["block_gap_ends"])) == n_blocks
+    assert block_ends_array(enc["block_gap_ends"])[-1] == len(enc["doc_gaps"])
+    assert block_ends_array(enc["block_tf_ends"])[-1] == len(enc["tfs"])
     got_d, got_t, got_l = [], [], []
     for b in range(n_blocks):
         d, t, l = _decode_block(enc, b)
@@ -61,15 +64,15 @@ def _row_from_enc(enc: dict, global_df: int = 100) -> SimpleNamespace:
 
 def test_seg_lookup_matches_full_decode():
     rng = np.random.default_rng(31)
-    n = 6_000
-    doc_ids = np.sort(rng.choice(500_000, size=n, replace=False)).astype(np.int64)
+    n = 60_000
+    doc_ids = np.sort(rng.choice(5_000_000, size=n, replace=False)).astype(np.int64)
     tfs = rng.integers(1, 9, size=n).astype(np.int64)
     dls = rng.integers(5, 400, size=n).astype(np.int64)
     enc = encode_postings(enc_docs := doc_ids, tfs, dls, avgdl=44.0)
     # sparse probes: a few present docs plus absent/out-of-range ones — far
     # fewer blocks touched than the segment holds
     probes = np.unique(np.concatenate([
-        enc_docs[::997], rng.integers(0, 600_000, size=10)])).astype(np.int64)
+        enc_docs[::4999], rng.integers(0, 6_000_000, size=10)])).astype(np.int64)
 
     lazy = _Seg(_row_from_enc(enc), n_docs=10_000, avgdl=44.0)
     got = lazy.lookup(probes)
