@@ -11,7 +11,10 @@ so a killed build resumes from the last commit.
 
 Storage note: stages are plain parquet directories (the Iceberg runtime jar
 is not present in this sandbox); the commit marker supplies the atomic-commit
-semantics Iceberg would give us, behind the same ``Stage`` API.
+semantics Iceberg would give us, behind the same ``Stage`` API. The exact
+boundary — what flips when the jar IS present, probe + session configs —
+is documented and test-gated in ``mini_distributed_search_engine_spark/
+storage.py`` (tests/test_storage.py).
 
 Stages:
   docs          stable docIDs + dl                        (parquet)
