@@ -26,7 +26,7 @@ from mini_distributed_search_engine_spark.functions import dedup as D
 from mini_distributed_search_engine_spark.functions import similarity as S
 from mini_distributed_search_engine_spark.functions import textstats as TS
 from mini_distributed_search_engine_spark.functions.multimodal import (
-    attach_fake_media, extract_media_meta)
+    attach_fake_media, embed_media, extract_media_meta, sample_frames)
 from mini_distributed_search_engine_spark.index.build import build_index
 from mini_distributed_search_engine_spark.index.packed import (
     append_packed, build_packed_postings, merge_packed, unpack_to_rows)
@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: TS.doc_fingerprint(_docs(s, d)),
         "multimodal_meta": lambda s, d: extract_media_meta(
             attach_fake_media(_docs(s, d))),
+        "multimodal_frame_sample": lambda s, d: sample_frames(
+            attach_fake_media(_docs(s, d))).drop("frame"),
+        "multimodal_embed": lambda s, d: embed_media(
+            attach_fake_media(_docs(s, d))),
         # analytics beyond the reference's inventory (window/rollup/sessionize)
         **analytics.queries(),
         # streaming op run in batch mode (identical plan; stream parity is
@@ -392,6 +396,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": OM.sql_quality_score(),
         "doc_fingerprint": OM.sql_doc_fingerprint(),
         "multimodal_meta": OM.sql_multimodal_meta(),
+        "multimodal_frame_sample": OM.sql_frame_sample(),
+        "multimodal_embed": OM.sql_embed_media(),
         **analytics.oracles(),
         "events_windowed_counts": (
             "SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start_epoch, "

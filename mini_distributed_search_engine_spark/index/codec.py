@@ -143,8 +143,8 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     n = doc_ids.size
     n_blocks = (n + BLOCK - 1) // BLOCK
     block_last = doc_ids[np.minimum(np.arange(1, n_blocks + 1) * BLOCK - 1, n - 1)]
-    block_max = np.array([norms[i * BLOCK:(i + 1) * BLOCK].max()
-                          for i in range(n_blocks)], dtype=np.float64)
+    block_max = (np.maximum.reduceat(norms, np.arange(0, n, BLOCK))
+                 if n else np.empty(0, dtype=np.float64))
     ugaps = gaps.astype(np.uint64)
     utfs = tfs.astype(np.uint64)
     udls = dls.astype(np.uint64)

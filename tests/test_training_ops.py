@@ -117,3 +117,30 @@ def test_ngram_jaccard_hot_shingle_cap(spark):
     # uncapped: the hot shingles pair EVERY doc combination
     uncapped = D.ngram_jaccard_pairs(docs, threshold=0.1).collect()
     assert len(uncapped) == 45
+
+
+def test_multimodal_frames_and_embed(spark, dup_docs):
+    import hashlib
+    media = attach_fake_media(dup_docs)
+    from mini_distributed_search_engine_spark.functions.multimodal import (
+        embed_media, sample_frames)
+    frames = sample_frames(media, stride=4).collect()
+    assert frames, "no frames sampled"
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+        # frame binary is the digest whose hex is frame_md5
+        assert bytes(r["frame"]).hex() == r["frame_md5"]
+    # deterministic fan-out: identical payloads sample identical frames
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    f0 = sorted((r["frame_idx"], r["frame_md5"]) for r in by_doc[0])
+    f1 = sorted((r["frame_idx"], r["frame_md5"]) for r in by_doc[1])
+    assert f0 == f1  # docs 0 and 1 are exact dups
+    payload = texts[0].encode()
+    n = int(hashlib.md5(payload).hexdigest()[8:12], 16) % 32 + 1
+    assert [i for i, _ in f0] == list(range(0, n, 4))
+
+    emb = embed_media(media, dim=8).collect()
+    assert len(emb) == 8 * dup_docs.count()
+    vec = {r["dim"]: r["value"] for r in emb if r["doc_id"] == 0}
+    assert all(0.0 <= vec[j] < 1.0 for j in range(8))
