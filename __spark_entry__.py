@@ -36,7 +36,7 @@ from mini_distributed_search_engine_spark.operators.pagerank import (
 from mini_distributed_search_engine_spark.query.bm25 import (
     AND_QUERY_SET, DEFAULT_QUERY_SET, bm25_topk, bm25_topk_conjunctive)
 from mini_distributed_search_engine_spark.functions.analyzer import (
-    term_positions_df)
+    term_positions_pandas)
 from mini_distributed_search_engine_spark.index.build import (
     with_stable_doc_ids)
 from mini_distributed_search_engine_spark.query.phrase import phrase_match
@@ -165,14 +165,14 @@ def _positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional index rows (doc_id, term, pos) — pos over the
     post-analyzer term sequence."""
     docs = with_stable_doc_ids(transcripts_from_documents(spark, sf_dir))
-    return term_positions_df(docs, "text", stem=True)
+    return term_positions_pandas(docs, "text", stem=True)
 
 
 def _phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact phrase search over the positional index (beyond the reference,
     whose count-only index cannot answer phrase queries)."""
     docs = with_stable_doc_ids(transcripts_from_documents(spark, sf_dir))
-    return phrase_match(spark, term_positions_df(docs, "text", stem=True))
+    return phrase_match(spark, term_positions_pandas(docs, "text", stem=True))
 
 
 def _term_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:

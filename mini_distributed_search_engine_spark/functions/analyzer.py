@@ -249,6 +249,77 @@ def term_doc_tf_pandas(df: DataFrame, text_col: str = "text",
     return df.select(doc_col, text_col).mapInPandas(gen, schema)
 
 
+def term_positions_pandas(df: DataFrame, text_col: str = "text",
+                          doc_col: str = "doc_id",
+                          stem: bool = True) -> DataFrame:
+    """(doc_id, term, pos) via the fused Arrow pass — ZERO shuffle.
+
+    Position semantics identical to `term_positions_df` (= index in the
+    doc's post-analyzer term sequence, pytest-equality-enforced), but
+    computed partition-locally: each input row is one document, so the
+    surviving tokens' order within the flattened frame IS the position
+    order and a per-doc cumcount assigns positions with no exchange. The
+    JVM alternative posexplode+window hash-exchanges O(token occurrences)
+    rows — the same wide shuffle `term_doc_tf_pandas` eliminated for TF.
+    """
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    tag_re, non_alnum_re = _TAG_RE, _NON_ALNUM_RE
+    stop = STOP_WORDS
+    digit_re = re.compile("[0-9]")
+
+    def gen(batches):
+        memo: dict[str, str] = {}
+
+        def stem_tok(t: str) -> str:
+            s = memo.get(t)
+            if s is None:
+                s = porter_stem(t)
+                if len(s) > MAX_WORD_LEN:
+                    s = s[-MAX_WORD_LEN:]
+                memo[t] = s
+            return s
+
+        for pdf in batches:
+            txt = (pdf[text_col].fillna("").str.lower()
+                   .str.replace(tag_re, " ", regex=True)
+                   .str.replace(non_alnum_re, " ", regex=True)
+                   .str.strip())
+            toks = txt.str.split()
+            lens = toks.str.len().fillna(0).astype(np.int64)
+            flat = pd.DataFrame({
+                doc_col: np.repeat(pdf[doc_col].to_numpy(), lens),
+                "tok": np.concatenate(toks.to_numpy())
+                if int(lens.sum()) else np.empty(0, dtype=object),
+            })
+            if len(flat):
+                t = flat["tok"]
+                keep = (~t.isin(stop) & (t.str.len() <= MAX_WORD_LEN)
+                        & ~t.str.contains(digit_re, regex=True))
+                flat = flat[keep]
+            if stem and len(flat):
+                uniq = pd.unique(flat["tok"])
+                mapping = {u: stem_tok(u) for u in uniq}
+                flat = flat.assign(term=flat["tok"].map(mapping))
+            else:
+                flat = flat.assign(term=flat["tok"])
+            if len(flat):
+                flat = flat[~flat["term"].isin(stop)]
+            pos = (flat.groupby(doc_col, sort=False).cumcount()
+                   if len(flat) else pd.Series(dtype="int64"))
+            yield pd.DataFrame({
+                doc_col: flat[doc_col].astype("int64"),
+                "term": flat["term"],
+                "pos": pos.astype("int32"),
+            })
+
+    return df.select(doc_col, text_col).mapInPandas(
+        gen, f"{doc_col} long, term string, pos int")
+
+
 def term_positions_df(df: DataFrame, text_col: str = "text",
                       doc_col: str = "doc_id",
                       stem: bool = True) -> DataFrame:

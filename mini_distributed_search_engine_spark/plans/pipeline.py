@@ -151,10 +151,12 @@ class StagedIndexBuild:
             if self.is_committed("positions"):
                 status["positions"] = "skipped"
             else:
-                from ..functions.analyzer import term_positions_df
+                from ..functions.analyzer import term_positions_pandas
                 t0 = time.perf_counter()
                 docs = self.read("docs", "data")
-                (term_positions_df(docs, "text", stem=stem)
+                # fused zero-shuffle pass (positions assigned partition-
+                # locally; JVM posexplode+window would exchange O(tokens))
+                (term_positions_pandas(docs, "text", stem=stem)
                  .repartitionByRange(
                      self.spark.sparkContext.defaultParallelism,
                      "term", "doc_id")

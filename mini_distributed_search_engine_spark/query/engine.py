@@ -91,8 +91,8 @@ class SearchEngine:
             if os.path.isdir(stage):
                 self._positions = self.spark.read.parquet(stage).cache()
             else:
-                from ..functions.analyzer import term_positions_df
-                self._positions = term_positions_df(
+                from ..functions.analyzer import term_positions_pandas
+                self._positions = term_positions_pandas(
                     self.docs, "text").cache()
             self._positions.count()
         return self._positions

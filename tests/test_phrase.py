@@ -63,3 +63,19 @@ def test_phrase_match_vs_oracle(spark, corpus):
         phrase_count_pandas(docs_terms, "apple")) if c > 0),
         key=lambda r: (-r[1], r[0]))[:200]
     assert f2 == apple
+
+
+def test_fused_positions_match_jvm_path(spark):
+    from mini_distributed_search_engine_spark.functions.analyzer import (
+        term_positions_pandas)
+    from mini_distributed_search_engine_spark.sources.transcripts import (
+        synthesize_transcripts_pdf)
+    import pyspark.sql.functions as F
+    pdf = synthesize_transcripts_pdf(30, seed=77)
+    docs = (spark.createDataFrame(pdf)
+            .withColumn("doc_id", F.monotonically_increasing_id()))
+    rows = lambda df: sorted((r["doc_id"], r["term"], r["pos"])
+                             for r in df.collect())
+    a = rows(term_positions_df(docs, "text", stem=True))
+    b = rows(term_positions_pandas(docs, "text", stem=True))
+    assert a == b and len(a) > 0
