@@ -99,6 +99,10 @@ def main() -> None:
     spark = get_spark("mdse-serve")
     t0 = time.perf_counter()
     engine = SearchEngine(spark, args.index, use_packed=not args.exhaustive)
+    # prime codegen/Arrow workers so the FIRST user request isn't the one
+    # paying JIT cost (the reference Searcher warms its IDF cache the same
+    # way at startup)
+    engine.search("warmup probe", k=1)  # hydrated: warms the join path too
     print(f"ready\twarmup={round(time.perf_counter() - t0, 2)}s", flush=True)
     lats = serve(engine)
     if lats:

@@ -188,7 +188,8 @@ def build_packed_postings_local(tf_dl: DataFrame, avgdl: float,
     return attach(whole.unionByName(spliced))
 
 
-def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
+def merge_packed(packed: DataFrame, level_factor: int = 8,
+                 salt_buckets: int = 1) -> DataFrame:
     """One hierarchical merge level: coalesce up to ``level_factor`` adjacent
     doc-shards of each term into one segment via gap-stream splicing.
 
@@ -200,9 +201,13 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
     Memory: grouping is per TARGET shard, so one pandas task holds every
     term's segment blobs for level_factor * shard_span docs of postings —
     at the defaults (8 * 1M postings, each a handful of varint bytes) tens
-    of MB per task. Size level_factor down (or shard_span at build time) if
-    executors are memory-tight; the per-(term, shard) grouping alternative
-    bounds memory at shard_span but measured far slower (thousands of tiny
+    of MB per task. If that bound is too big (huge shard_span on
+    memory-tight executors), pass ``salt_buckets > 1``: groups become
+    (target shard, hash(term) % salt) — per-task memory drops by the salt
+    factor while keeping the batched-splice win, since a term's segments
+    always share a salt bucket (splice correctness is per TERM, never
+    across terms). The per-(term, shard) grouping alternative bounds
+    memory at shard_span but measured far slower (thousands of tiny
     applyInPandas groups).
     """
 
@@ -280,6 +285,11 @@ def merge_packed(packed: DataFrame, level_factor: int = 8) -> DataFrame:
 
     lv = packed.withColumn("_new_shard",
                            (F.col("shard_id") / F.lit(level_factor)).cast("int"))
+    if salt_buckets > 1:
+        lv = lv.withColumn("_salt",
+                           F.pmod(F.xxhash64("term"), F.lit(salt_buckets)))
+        return (lv.groupBy("_new_shard", "_salt")
+                .applyInPandas(merge_shard, PACKED_SCHEMA))
     return (lv.groupBy("_new_shard")
             .applyInPandas(merge_shard, PACKED_SCHEMA))
 

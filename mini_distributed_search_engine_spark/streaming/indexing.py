@@ -134,8 +134,10 @@ class StreamingIndexer:
         """Analyze the micro-batch, assign continuing docIDs, append.
 
         Writes O(batch + one boundary shard) segment bytes + O(vocab)
-        totals bytes; never rewrites committed segments.
+        totals bytes; never rewrites committed segments. Leaves one
+        lineage row per committed batch under ``root/_lineage``.
         """
+        t_start = time.time()
         meta = self._meta()
         known = meta.get("checkpoint_id")
         if self._checkpoint_id is not None:
@@ -245,6 +247,19 @@ class StreamingIndexer:
                      "generation": gen + 1, "batch_id": int(batch_id),
                      "manifest": man, "updated_at": time.time()})
         self._save_meta(meta)
+        # per-batch lineage row (north rule: every stage leaves lineage):
+        # batch id, docs appended, segment bytes written, wall time
+        wall_ms = int((time.time() - t_start) * 1000)
+        seg_bytes = sum(f.stat().st_size
+                        for f in (self.root / seg_dir).rglob("*")
+                        if f.is_file())
+        lineage = self.spark.createDataFrame(
+            [(f"batch_{batch_id}", "stream_append", int(start), seg_dir, "",
+              int(n_new), int(seg_bytes), wall_ms, time.time())],
+            "run_id string, stage string, shard_id int, term_lo string, "
+            "term_hi string, doc_count long, bytes long, wall_ms long, "
+            "committed_at double")
+        lineage.write.mode("append").parquet(str(self.root / "_lineage"))
         # committed: garbage-collect superseded files (safe to re-crash
         # here — they are no longer referenced by the manifest)
         for p in dead:

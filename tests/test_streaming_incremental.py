@@ -82,3 +82,15 @@ def test_same_checkpoint_restart_skips_batches(spark, roots):
     after = indexer._meta()
     assert after["n_docs"] == before["n_docs"]
     assert after["generation"] == before["generation"]
+
+
+def test_streaming_lineage_rows(spark, roots):
+    """Each committed batch leaves one lineage row with its byte cost."""
+    lineage = spark.read.parquet(str(roots / "idx" / "_lineage")).collect()
+    stages = {r["run_id"]: r for r in lineage}
+    assert {"batch_0", "batch_1"} <= set(stages)
+    assert all(r["stage"] == "stream_append" for r in lineage)
+    assert stages["batch_0"]["doc_count"] == 600
+    assert stages["batch_1"]["doc_count"] == 20
+    assert 0 < stages["batch_1"]["bytes"] < stages["batch_0"]["bytes"]
+    assert all(r["wall_ms"] > 0 for r in lineage)
