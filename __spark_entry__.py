@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flame_take": flame.take_ordered,
         "flame_count": flame.count_rows,
         "flame_mappartitions": flame.mappartitions_token_count,
+        "flame_save_roundtrip": flame.save_roundtrip,
         # training-data pipeline ops (dedup / similarity / text / multimodal)
         "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
         "dedup_minhash_sigs": lambda s, d: D.minhash_signatures(_docs(s, d)),
@@ -264,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_lsh_ann_topk": lambda s, d: S.lsh_ann_topk(_emb(s, d)),
         "embed_near_dup": lambda s, d: S.embedding_near_dup_pairs(_emb(s, d)),
         "embed_near_dup_lsh": lambda s, d: S.embedding_near_dup_lsh(_emb(s, d)),
+        "text_token_counts": lambda s, d: TS.token_counts(_docs(s, d)),
         "text_lang_id": lambda s, d: TS.lang_id(_docs(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_docs(s, d)),
         "doc_fingerprint": lambda s, d: TS.doc_fingerprint(_docs(s, d)),
@@ -380,6 +382,11 @@ def oracle_sql() -> dict[str, str]:
         "flame_take": ("SELECT o_orderkey, o_totalprice FROM orders "
                        "ORDER BY o_orderkey LIMIT 10"),
         "flame_count": "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
+        # lifecycle roundtrip returns the saved copy of the same aggregate
+        "flame_save_roundtrip": (
+            "SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt, "
+            "sum(l_quantity) AS sum_qty FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"),
         "flame_mappartitions": (
             "SELECT doc_id, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) "
             "AS n_tokens FROM documents"),
@@ -392,6 +399,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_lsh_ann_topk": OM.sql_lsh_ann_topk(),
         "embed_near_dup": OM.sql_embedding_near_dup(),
         "embed_near_dup_lsh": OM.sql_embedding_near_dup_lsh(),
+        "text_token_counts": OM.sql_token_counts(),
         "text_lang_id": OM.sql_lang_id(),
         "text_quality": OM.sql_quality_score(),
         "doc_fingerprint": OM.sql_doc_fingerprint(),

@@ -32,6 +32,27 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("tok") != ""))
 
 
+# GPT-2-style pre-tokenizer shape, lookahead-free so Java regex (Spark) and
+# RE2 (DuckDB) agree: optional leading space + a letter run / digit run /
+# punctuation run. Both engines use leftmost-first alternation here.
+BPE_TOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace token count plus a
+    BPE-ish pre-tokenizer count (the unit LLM-pipeline budgets are priced
+    in). Pure codegen'd expressions (split / regexp_extract_all / size) —
+    no Python in the hot path, null text counts as zero tokens."""
+    txt = F.lower(F.coalesce(F.col(text_col), F.lit("")))
+    ws = F.size(F.filter(F.split(F.trim(txt), r"\s+"),
+                         lambda x: x != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(txt, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       ws.cast("long").alias("n_ws_tokens"),
+                       bpe.cast("long").alias("n_bpe_tokens"))
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, hits): function-word voting; ties broken by lang

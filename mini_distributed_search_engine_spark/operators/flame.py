@@ -158,6 +158,23 @@ def mappartitions_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 13. parallelize (flame/FlameContext.java:28) -> createDataFrame; exercised
-#     implicitly by every query-term broadcast. saveAsTable/destroy/collect
-#     (FlameRDD.java:43,56,78) are writeTo/unpersist/collect — lifecycle, not
-#     queries; covered in tests.
+#     implicitly by every query-term broadcast.
+
+
+# 14/16/17/23. collect / saveAsTable / destroy (FlameRDD.java:43,56,78 and the
+#     pair-RDD twins) as one driver-checkable lifecycle query: persist the
+#     aggregate (the reference materializes every op into a KVS table), save
+#     it to parquet, read the saved table back, and unpersist the source.
+#     The returned frame scans the SAVED copy, so the oracle checks the whole
+#     write→read lifecycle, not just the aggregate.
+def save_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    out = (_t(spark, sf_dir, "lineitem")
+           .groupBy("l_returnflag", "l_linestatus")
+           .agg(F.count("*").cast("long").alias("cnt"),
+                F.sum("l_quantity").alias("sum_qty"))
+           .persist())
+    path = f"{tempfile.gettempdir()}/mdse_flame_save_roundtrip"
+    out.write.mode("overwrite").parquet(path)       # saveAsTable
+    out.unpersist()                                 # destroy
+    return spark.read.parquet(path)                 # collect happens driver-side

@@ -211,6 +211,19 @@ SELECT query_vec_id AS vec_a, vec_id AS vec_b, cos
 FROM sc WHERE cos >= {threshold}"""
 
 
+def sql_token_counts() -> str:
+    # same lookahead-free BPE-ish regex as textstats.BPE_TOKEN_RE; RE2 and
+    # Java regex agree on leftmost-first alternation for it
+    return r"""
+WITH d AS (SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(t), '\s+'),
+                            x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(t, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))
+            AS BIGINT) AS n_bpe_tokens
+FROM d"""
+
+
 def sql_lang_id() -> str:
     unions = []
     for lang, markers in sorted(LANG_MARKERS.items()):

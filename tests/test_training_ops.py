@@ -144,3 +144,20 @@ def test_multimodal_frames_and_embed(spark, dup_docs):
     assert len(emb) == 8 * dup_docs.count()
     vec = {r["dim"]: r["value"] for r in emb if r["doc_id"] == 0}
     assert all(0.0 <= vec[j] < 1.0 for j in range(8))
+
+
+def test_token_counts_literal(spark):
+    from mini_distributed_search_engine_spark.functions.textstats import (
+        token_counts)
+    rows = [(0, "Hello, world! It's 2026."),
+            (1, "  one   two  "),
+            (2, None),
+            (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_ws_tokens"], r["n_bpe_tokens"])
+           for r in token_counts(docs).collect()}
+    # "hello, world! it's 2026." -> bpe: [hello][,][ world][!][ it]['][s][ 2026][.]
+    assert got[0] == (4, 9)
+    assert got[1] == (2, 2)
+    assert got[2] == (0, 0)
+    assert got[3] == (0, 0)
