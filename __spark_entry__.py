@@ -216,6 +216,26 @@ def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_packed(old_packed, new_tf, avgdl, shard_span=128))
 
 
+def _index_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard lineage rows from the checkpoint-resumable staged build
+    (north rule: per-partition lineage written to a metrics table). Runs
+    the full staged pipeline into a scratch root (shard_span=128 so the
+    sf0.01 doc space covers several shards), reads back the _lineage
+    metrics table, and projects the deterministic columns of the packed
+    stage; bytes/wall_ms/committed_at are run-dependent by design."""
+    import shutil
+    import tempfile
+    from mini_distributed_search_engine_spark.plans.pipeline import (
+        StagedIndexBuild)
+    root = f"{tempfile.gettempdir()}/mdse_lineage_check"
+    shutil.rmtree(root, ignore_errors=True)  # fresh build, no stale commits
+    tr = transcripts_from_documents(spark, sf_dir)
+    StagedIndexBuild(spark, root).run(tr, stem=True, shard_span=128)
+    lin = spark.read.parquet(f"{root}/_lineage")
+    return (lin.where(F.col("stage") == "packed")
+            .select("shard_id", "term_lo", "term_hi", "doc_count"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # fulltext pipeline (transcripts derived from documents)
@@ -237,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_positions": _positions,
         "phrase_match": _phrase,
         "packed_roundtrip": _packed_roundtrip,
+        "index_lineage": _index_lineage,
         "packed_incremental_roundtrip": _packed_incremental,
         "flame_groupby_salted": _groupby_salted,
         # Flame operator analogues (SURVEY.md §2.1)
@@ -330,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "term_positions": O.sql_term_positions(stem=True),
         "phrase_match": O.sql_phrase_match(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
+        "index_lineage": O.sql_index_lineage(shard_span=128, stem=True),
         "packed_incremental_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "flame_parallelize": (
             "SELECT * FROM (VALUES " + ", ".join(

@@ -125,6 +125,19 @@ dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1)
 SELECT term, tf.doc_id, tf, dl FROM tf JOIN dl USING (doc_id)"""
 
 
+def sql_index_lineage(shard_span: int = 128, stem: bool = True) -> str:
+    """Deterministic columns of the staged build's per-shard lineage rows
+    (plans/pipeline.py:_lineage_from_packed): shard id = doc_id DIV span,
+    term range, and posting count; bytes/wall_ms are run-dependent and
+    excluded."""
+    return analyzed_terms_ctes(stem) + f"""
+, tf AS (SELECT term, doc_id FROM sel GROUP BY term, doc_id)
+SELECT CAST(doc_id // {shard_span} AS INT) AS shard_id,
+       min(term) AS term_lo, max(term) AS term_hi,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM tf GROUP BY 1"""
+
+
 def sql_term_stats(stem: bool = True) -> str:
     return analyzed_terms_ctes(stem) + """
 , tf AS (SELECT term, doc_id FROM sel GROUP BY term, doc_id)
