@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--shard-span", type=int, default=1 << 20)
     ap.add_argument("--follow", action="store_true",
                     help="keep running instead of drain-and-exit")
+    ap.add_argument("--compact-after", type=int, default=0, metavar="K",
+                    help="after draining, consolidate the manifest if it "
+                         "has more than K entries (0 = never); appends are "
+                         "O(batch) but leave one dir per micro-batch, so "
+                         "cron runs should compact periodically")
     args = ap.parse_args()
 
     spark = get_spark("mdse-stream-index")
@@ -45,6 +50,10 @@ def main() -> None:
     else:
         q = indexer.start(stream)
         q.awaitTermination()
+        if (args.compact_after
+                and len(indexer._manifest(indexer._meta()))
+                > args.compact_after):
+            print(f"compact: {indexer.compact()}")
         n, avgdl = indexer.corpus_stats()
         print(f"docs={n} avgdl={avgdl:.3f} "
               f"generation={indexer._meta()['generation']}")

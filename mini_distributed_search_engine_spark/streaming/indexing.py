@@ -32,6 +32,14 @@ at 0) fails loudly instead of silently dropping data.
 Appended conversations must sort after all existing ones (the append-only
 stable-docID discipline, validated by `append` via the new-vs-old doc range
 check); each batch's docIDs continue from the running total.
+
+LSM-style COMPACTION bounds read amplification: each append leaves one
+manifest entry (one parquet dir, one plan branch in ``packed()``), so a
+root fed by thousands of micro-batches pays O(batches) driver-plan and
+file-listing cost per query. ``compact()`` rewrites the authoritative
+union into a single directory and resets the manifest to one entry —
+O(index) I/O once, run when len(manifest) crosses an ops threshold
+(``stream_index_job.py --compact-after K``).
 """
 
 from __future__ import annotations
@@ -97,13 +105,9 @@ class StreamingIndexer:
                    if int(meta.get("generation", 0)) > 0 else [])
         return man
 
-    def packed(self) -> DataFrame:
-        """The current index: union of each manifest entry's authoritative
-        shard range, with per-term totals (idf input) joined on broadcast."""
-        meta = self._meta()
-        man = self._manifest(meta)
-        if not man:
-            return self.spark.createDataFrame([], PACKED_SCHEMA)
+    def _segments(self, man: list[dict]) -> DataFrame:
+        """Union of each manifest entry's authoritative shard range (raw
+        segment columns, stored global_df — no totals join)."""
         parts = []
         for entry, nxt in zip(man, man[1:] + [None]):
             df = self.spark.read.parquet(str(self.root / entry["path"]))
@@ -111,7 +115,16 @@ class StreamingIndexer:
             if nxt is not None:
                 df = df.where(F.col("shard_id") < int(nxt["start_shard"]))
             parts.append(df.select(*_COLS))
-        seg = reduce(DataFrame.unionByName, parts)
+        return reduce(DataFrame.unionByName, parts)
+
+    def packed(self) -> DataFrame:
+        """The current index: union of each manifest entry's authoritative
+        shard range, with per-term totals (idf input) joined on broadcast."""
+        meta = self._meta()
+        man = self._manifest(meta)
+        if not man:
+            return self.spark.createDataFrame([], PACKED_SCHEMA)
+        seg = self._segments(man)
         totals_dir = self.root / f"totals_g{meta['generation']}"
         if not totals_dir.is_dir():      # legacy root: derive from segments
             return with_global_df(seg)
@@ -265,6 +278,59 @@ class StreamingIndexer:
         for p in dead:
             shutil.rmtree(self.root / p, ignore_errors=True)
         shutil.rmtree(old_tot_dir, ignore_errors=True)
+
+    def compact(self) -> dict:
+        """Consolidate the manifest into one generation directory.
+
+        Appends are O(batch) but leave one manifest entry (= one parquet
+        directory, one plan branch in ``packed()``) per micro-batch, so an
+        index fed by thousands of batches pays O(batches) driver-plan and
+        file-listing cost per query. Compaction is the LSM counterpart:
+        rewrite the authoritative union into a single directory, reset the
+        manifest to one entry, and GC superseded files. Costs O(index) I/O
+        once; call it when ``len(manifest)`` crosses an ops threshold.
+        Crash-safe the same way as appends: the meta commit is the atomic
+        flip, GC only runs after it, and re-crashing between the two only
+        leaves unreferenced directories (re-GC'd by the next compaction).
+        """
+        meta = self._meta()
+        man = self._manifest(meta)
+        if len(man) <= 1:
+            return {"compacted": False, "entries": len(man)}
+        t0 = time.time()
+        gen = int(meta["generation"]) + 1
+        out_dir = f"segs_g{gen}"
+        seg = self._segments(man).persist()
+        seg.write.mode("overwrite").parquet(str(self.root / out_dir))
+        n_segments = seg.count()
+        seg.unpersist()
+        # carry totals forward under the new generation name (packed()
+        # resolves totals by generation; content is unchanged)
+        old_tot = self.root / f"totals_g{meta['generation']}"
+        if old_tot.is_dir():
+            (self.spark.read.parquet(str(old_tot))
+             .write.mode("overwrite")
+             .parquet(str(self.root / f"totals_g{gen}")))
+        dead = [e["path"] for e in man]
+        meta.update({"generation": gen, "updated_at": time.time(),
+                     "manifest": [{"path": out_dir, "start_shard": 0}]})
+        self._save_meta(meta)
+        wall_ms = int((time.time() - t0) * 1000)
+        seg_bytes = sum(f.stat().st_size
+                        for f in (self.root / out_dir).rglob("*")
+                        if f.is_file())
+        lineage = self.spark.createDataFrame(
+            [(f"compact_g{gen}", "compact", -1, out_dir, "",
+              int(n_segments), int(seg_bytes), wall_ms, time.time())],
+            "run_id string, stage string, shard_id int, term_lo string, "
+            "term_hi string, doc_count long, bytes long, wall_ms long, "
+            "committed_at double")
+        lineage.write.mode("append").parquet(str(self.root / "_lineage"))
+        for p in dead:
+            shutil.rmtree(self.root / p, ignore_errors=True)
+        shutil.rmtree(old_tot, ignore_errors=True)
+        return {"compacted": True, "entries_before": len(man),
+                "segments": int(n_segments), "bytes": int(seg_bytes)}
 
     def start(self, stream_df: DataFrame, checkpoint: str | None = None):
         """availableNow: drain everything currently in the source, then stop

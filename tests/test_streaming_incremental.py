@@ -94,3 +94,55 @@ def test_streaming_lineage_rows(spark, roots):
     assert stages["batch_1"]["doc_count"] == 20
     assert 0 < stages["batch_1"]["bytes"] < stages["batch_0"]["bytes"]
     assert all(r["wall_ms"] > 0 for r in lineage)
+
+
+def test_compaction_consolidates_manifest(spark, roots):
+    """compact(): one manifest entry / one dir after N batches, byte-exact
+    postings parity, no-op when already compact, and appends keep working
+    against the compacted entry (boundary splice)."""
+    from mini_distributed_search_engine_spark.index.packed import unpack_to_rows
+
+    pdf = synthesize_transcripts_pdf(100, seed=77)   # 400 turns
+    src = roots / "in2"
+    src.mkdir()
+    n = len(pdf)
+    cuts = [0, n - 60, n - 40, n - 15, n]
+    for i, (a, b) in enumerate(zip(cuts, cuts[1:])):
+        (spark.createDataFrame(pdf.iloc[a:b]).coalesce(1)
+         .write.parquet(str(src / f"p{i}.parquet")))
+
+    idx_root = roots / "idx2"
+    indexer = StreamingIndexer(spark, str(idx_root), shard_span=SPAN)
+    q = indexer.start(read_transcript_stream(spark, str(src)))
+    q.awaitTermination(180)
+
+    meta = indexer._meta()
+    assert len(meta["manifest"]) > 1, meta["manifest"]
+    def snapshot():
+        return {(r["term"], r["doc_id"]): (r["tf"], r["dl"])
+                for r in unpack_to_rows(indexer.packed()).collect()}
+    before = snapshot()
+
+    res = indexer.compact()
+    assert res["compacted"] and res["entries_before"] == len(meta["manifest"])
+    meta2 = indexer._meta()
+    assert [e["start_shard"] for e in meta2["manifest"]] == [0]
+    # only the compacted segment dir and current totals remain on disk
+    assert sorted(p.name for p in idx_root.glob("segs_g*")) == \
+        [meta2["manifest"][0]["path"]]
+    assert sorted(p.name for p in idx_root.glob("totals_g*")) == \
+        [f"totals_g{meta2['generation']}"]
+    assert snapshot() == before
+    # compaction leaves a lineage row with its cost
+    lin = spark.read.parquet(str(idx_root / "_lineage"))
+    assert lin.where("stage = 'compact'").count() == 1
+
+    assert indexer.compact() == {"compacted": False, "entries": 1}
+
+    # append after compaction: splice against the compacted entry
+    extra = spark.createDataFrame(synthesize_transcripts_pdf(4, seed=901))
+    indexer.process_batch(extra, batch_id=99)
+    after = snapshot()
+    assert len(after) > len(before)
+    assert all(after[k] == v for k, v in before.items())
+    assert indexer._meta()["n_docs"] == n + 16
