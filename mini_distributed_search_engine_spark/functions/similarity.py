@@ -10,10 +10,18 @@
   identically. Query cost drops from O(N) rows to O(bucket size); exactness
   is traded for recall (evaluated in tests against brute force).
 
+* `ivf_ann_topk` — the second scale path: IVF-flat. Vectors join the
+  inverted list of their nearest coarse centroid; a query exact-scores only
+  its n_probe nearest lists. Centroids here are deterministically sampled
+  (first C vec_ids) so the DuckDB oracle reproduces the assignment; at
+  scale they come from a k-means job, same structure.
+
 At 100 TB scale: brute force is one pass (fine for batch joins); the LSH
 variant turns per-query scans into a bucket-pruned lookup — bucket id is a
 groupable key, so the same pattern shards across executors with no driver
-state.
+state; the IVF variant stores the corpus partitioned by centroid_id so a
+query is n_probe partition scans (partition pruning), the layout every
+production ANN system (FAISS IVF, SCANN) uses.
 """
 
 from __future__ import annotations
@@ -119,6 +127,79 @@ def lsh_ann_topk(embeddings: DataFrame, query_ids: tuple[int, ...] = (0, 1, 2),
                            & (F.col("vec_id") != F.col("query_vec_id")))
              .select("query_vec_id", "vec_id", "embedding", "q_emb")
              .dropDuplicates(["query_vec_id", "vec_id"]))
+    scored = cands.select(
+        "query_vec_id", "vec_id",
+        F.round(_cos(F.col("embedding"), F.col("q_emb")), 6).alias("cos"))
+    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos").desc(),
+                                                   F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_vec_id", "rank", "vec_id", "cos"))
+
+
+N_CENTROIDS = 8
+N_PROBE = 2
+
+
+def _centroid_scores(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+    """(vec_id, embedding, centroid_id, ccos): cosine of every vector vs
+    every centroid. Centroids are the first n_centroids vec_ids (IVF-flat
+    with deterministic sampled centroids — at scale they come from a
+    k-means job instead, but the index structure and query plan are
+    unchanged, and sampling keeps the DuckDB oracle able to reproduce the
+    assignment exactly). Broadcast nested-loop join: narrow, no shuffle."""
+    cents = (embeddings.where(F.col("vec_id") < n_centroids)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("c_emb")))
+    return embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "centroid_id",
+        F.round(_cos(F.col("embedding"), F.col("c_emb")), 6).alias("ccos"))
+
+
+def ivf_assign(embeddings: DataFrame,
+               n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """(vec_id, embedding, centroid_id): IVF coarse quantization — each
+    vector joins the inverted list of its nearest centroid (rounded cosine,
+    ties to the smaller centroid id). groupBy+max_by, not a window: the
+    argmax partial-aggregates map-side to one row per vec_id, so the
+    exchange moves O(N) rows, not the O(N x centroids) score rows. At scale
+    the assigned table is written partitioned by centroid_id, so a query
+    scans only its probed partitions (partition pruning = the IVF win)."""
+    best = (_centroid_scores(embeddings, n_centroids)
+            .groupBy("vec_id")
+            .agg(F.max_by("centroid_id",
+                          F.struct(F.col("ccos"),
+                                   (-F.col("centroid_id")).alias("nc")))
+                 .alias("centroid_id")))
+    return embeddings.join(best, "vec_id").select(
+        "vec_id", "embedding", "centroid_id")
+
+
+def ivf_ann_topk(embeddings: DataFrame,
+                 query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10,
+                 n_centroids: int = N_CENTROIDS,
+                 n_probe: int = N_PROBE) -> DataFrame:
+    """Approximate top-k, IVF-flat: exact cosine restricted to the inverted
+    lists of each query's n_probe nearest centroids. The second scale path
+    next to sign-LSH (`lsh_ann_topk`): LSH prunes by hash bucket equality,
+    IVF prunes by centroid-partition locality — per query it scans
+    ~n_probe/n_centroids of the corpus instead of all of it. Output:
+    (query_vec_id, rank, vec_id, cos); recall vs brute force is
+    pytest-bounded, exactness traded like every ANN method."""
+    from pyspark.sql import Window
+    assigned = ivf_assign(embeddings, n_centroids)
+    probe = (_centroid_scores(embeddings, n_centroids)
+             .where(F.col("vec_id").isin(list(query_ids)))
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("vec_id")
+                 .orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())))
+             .where(F.col("rn") <= n_probe)
+             .select(F.col("vec_id").alias("query_vec_id"),
+                     F.col("embedding").alias("q_emb"), "centroid_id"))
+    # one centroid per vector + distinct probed centroids per query =>
+    # (query_vec_id, vec_id) pairs are unique by construction, no dedup
+    cands = (assigned.join(F.broadcast(probe), "centroid_id")
+             .where(F.col("vec_id") != F.col("query_vec_id")))
     scored = cands.select(
         "query_vec_id", "vec_id",
         F.round(_cos(F.col("embedding"), F.col("q_emb")), 6).alias("cos"))

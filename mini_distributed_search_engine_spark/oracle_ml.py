@@ -176,6 +176,45 @@ r AS (SELECT query_vec_id, vec_id, cos,
 SELECT query_vec_id, rank, vec_id, cos FROM r WHERE rank <= {k}"""
 
 
+def sql_ivf_ann_topk(query_ids=(0, 1, 2), k: int = 10,
+                     n_centroids: int = 8, n_probe: int = 2) -> str:
+    # mirrors similarity.ivf_ann_topk: centroids = first n_centroids
+    # vec_ids; assignment/probe by rounded cosine, ties to smaller centroid
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS ce
+               FROM embeddings WHERE vec_id < {n_centroids}),
+cun AS (SELECT e.vec_id, c.centroid_id,
+               unnest(e.embedding)::DOUBLE AS x, unnest(c.ce)::DOUBLE AS y
+        FROM embeddings e CROSS JOIN cents c),
+cs AS (SELECT vec_id, centroid_id, sum(x * y) AS dot,
+              sum(x * x) AS na, sum(y * y) AS nb
+       FROM cun GROUP BY 1, 2),
+csc AS (SELECT vec_id, centroid_id,
+               round(dot / (sqrt(na) * sqrt(nb)), 6) AS ccos FROM cs),
+ranked AS (SELECT vec_id, centroid_id, ccos,
+                  row_number() OVER (PARTITION BY vec_id
+                      ORDER BY ccos DESC, centroid_id) AS rn
+           FROM csc),
+assigned AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id AS query_vec_id, centroid_id
+          FROM ranked WHERE rn <= {n_probe} AND vec_id IN ({ids})),
+q AS (SELECT vec_id AS query_vec_id, embedding AS qe
+      FROM embeddings WHERE vec_id IN ({ids})),
+pairs AS (SELECT p.query_vec_id, a.vec_id, e.embedding, q.qe
+          FROM probe p
+          JOIN assigned a USING (centroid_id)
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN q ON q.query_vec_id = p.query_vec_id
+          WHERE a.vec_id <> p.query_vec_id),
+{_COS_CTE},
+r AS (SELECT query_vec_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_vec_id
+                  ORDER BY cos DESC, vec_id) AS INT) AS rank
+      FROM sc)
+SELECT query_vec_id, rank, vec_id, cos FROM r WHERE rank <= {k}"""
+
+
 def sql_embedding_near_dup(threshold: float = 0.4) -> str:
     return f"""
 WITH pairs AS (SELECT a.vec_id AS query_vec_id, b.vec_id AS vec_id,

@@ -64,6 +64,25 @@ def test_lsh_ann_recall(spark):
     assert recall >= 0.3, recall  # 4-plane sign LSH, small corpus
 
 
+def test_ivf_ann_recall_and_pruning(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {(r["query_vec_id"], r["vec_id"])
+             for r in S.cosine_topk(emb, k=10).collect()}
+    ivf = S.ivf_ann_topk(emb, k=10).collect()
+    ann = {(r["query_vec_id"], r["vec_id"]) for r in ivf}
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.3, recall  # 2-of-8 probed lists, small corpus
+    # pruning is real: every candidate came from a probed inverted list,
+    # which must cover well under the whole corpus
+    assigned = S.ivf_assign(emb)
+    n = emb.count()
+    sizes = {r["centroid_id"]: r["cnt"] for r in
+             assigned.groupBy("centroid_id").count()
+             .withColumnRenamed("count", "cnt").collect()}
+    assert sum(sizes.values()) == n          # partition of the corpus
+    assert max(sizes.values()) < n           # more than one non-empty list
+
+
 def test_multimodal_plumbing(spark, dup_docs):
     media = attach_fake_media(dup_docs)
     meta = {r["doc_id"]: r for r in extract_media_meta(media).collect()}
