@@ -285,6 +285,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d)),
         "embed_lsh_ann_topk": lambda s, d: S.lsh_ann_topk(_emb(s, d)),
         "embed_ivf_ann_topk": lambda s, d: S.ivf_ann_topk(_emb(s, d)),
+        # iterative Lloyd loop, oracle = the same loop unrolled as SQL CTEs
+        "embed_kmeans_centroids": lambda s, d: (
+            S.kmeans_fit(_emb(s, d))
+            .select(F.col("centroid_id").cast("int").alias("centroid_id"),
+                    F.posexplode("c_emb").alias("dim", "value"))),
         "embed_near_dup": lambda s, d: S.embedding_near_dup_pairs(_emb(s, d)),
         "embed_near_dup_lsh": lambda s, d: S.embedding_near_dup_lsh(_emb(s, d)),
         "text_token_counts": lambda s, d: TS.token_counts(_docs(s, d)),
@@ -421,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_topk": OM.sql_cosine_topk(),
         "embed_lsh_ann_topk": OM.sql_lsh_ann_topk(),
         "embed_ivf_ann_topk": OM.sql_ivf_ann_topk(),
+        "embed_kmeans_centroids": OM.sql_kmeans_centroids(),
         "embed_near_dup": OM.sql_embedding_near_dup(),
         "embed_near_dup_lsh": OM.sql_embedding_near_dup_lsh(),
         "text_token_counts": OM.sql_token_counts(),

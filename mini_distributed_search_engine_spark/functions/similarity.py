@@ -141,23 +141,72 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 
-def _centroid_scores(embeddings: DataFrame, n_centroids: int) -> DataFrame:
+def _centroid_scores(embeddings: DataFrame, n_centroids: int,
+                     centroids: DataFrame | None = None) -> DataFrame:
     """(vec_id, embedding, centroid_id, ccos): cosine of every vector vs
-    every centroid. Centroids are the first n_centroids vec_ids (IVF-flat
-    with deterministic sampled centroids — at scale they come from a
-    k-means job instead, but the index structure and query plan are
-    unchanged, and sampling keeps the DuckDB oracle able to reproduce the
-    assignment exactly). Broadcast nested-loop join: narrow, no shuffle."""
-    cents = (embeddings.where(F.col("vec_id") < n_centroids)
-             .select(F.col("vec_id").alias("centroid_id"),
-                     F.col("embedding").alias("c_emb")))
+    every centroid. Default centroids are the first n_centroids vec_ids
+    (IVF-flat with deterministic sampled centroids — sampling keeps the
+    DuckDB oracle able to reproduce the assignment exactly); pass a
+    (centroid_id, c_emb) frame (e.g. `kmeans_fit`) for learned ones.
+    Broadcast nested-loop join: narrow, no shuffle."""
+    cents = centroids if centroids is not None else (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c_emb")))
     return embeddings.crossJoin(F.broadcast(cents)).select(
         "vec_id", "embedding", "centroid_id",
         F.round(_cos(F.col("embedding"), F.col("c_emb")), 6).alias("ccos"))
 
 
-def ivf_assign(embeddings: DataFrame,
-               n_centroids: int = N_CENTROIDS) -> DataFrame:
+def kmeans_fit(embeddings: DataFrame, k: int = N_CENTROIDS,
+               iters: int = 3) -> DataFrame:
+    """(centroid_id, c_emb): Lloyd's k-means on cosine similarity, seeded
+    from the first k vec_ids — the learned-centroid upgrade for IVF
+    (`ivf_ann_topk(centroids=kmeans_fit(...))`).
+
+    Each iteration is one broadcast-join assign (argmax by groupBy+max_by,
+    O(N)-row exchange) and one posexplode/avg update (O(N x dim) rows with
+    map-side partial aggregation — dim is small and fixed). Mean
+    components are rounded to 6dp per iteration so any engine replaying
+    the same arithmetic (the DuckDB oracle unrolls the loop as CTEs)
+    converges through identical intermediate centroids. Empty clusters
+    keep their previous centroid. Driver-side loop is over ITERATIONS
+    (a handful), never over data."""
+    cents = (embeddings.where(F.col("vec_id") < k)
+             .select(F.col("vec_id").cast("int").alias("centroid_id"),
+                     F.col("embedding").alias("c_emb")))
+    for _ in range(iters):
+        scored = embeddings.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "embedding", "centroid_id",
+            F.round(_cos(F.col("embedding"), F.col("c_emb")), 6).alias("ccos"))
+        best = (scored.groupBy("vec_id")
+                .agg(F.max_by(F.struct("centroid_id", "embedding"),
+                              F.struct(F.col("ccos"),
+                                       (-F.col("centroid_id")).alias("nc")))
+                     .alias("b"))
+                .select(F.col("b.centroid_id").alias("centroid_id"),
+                        F.col("b.embedding").alias("embedding")))
+        means = (best.select("centroid_id",
+                             F.posexplode("embedding").alias("i", "x"))
+                 .groupBy("centroid_id", "i")
+                 .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("i", "m")))
+                      .alias("sm"))
+                 .select("centroid_id",
+                         F.transform("sm", lambda s: s["m"]).alias("new_emb")))
+        cents = (cents.join(means, "centroid_id", "left")
+                 .select("centroid_id",
+                         F.coalesce(
+                             "new_emb",
+                             F.transform("c_emb",
+                                         lambda x: x.cast("double")))
+                         .alias("c_emb")))
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = N_CENTROIDS,
+               centroids: DataFrame | None = None) -> DataFrame:
     """(vec_id, embedding, centroid_id): IVF coarse quantization — each
     vector joins the inverted list of its nearest centroid (rounded cosine,
     ties to the smaller centroid id). groupBy+max_by, not a window: the
@@ -165,7 +214,7 @@ def ivf_assign(embeddings: DataFrame,
     exchange moves O(N) rows, not the O(N x centroids) score rows. At scale
     the assigned table is written partitioned by centroid_id, so a query
     scans only its probed partitions (partition pruning = the IVF win)."""
-    best = (_centroid_scores(embeddings, n_centroids)
+    best = (_centroid_scores(embeddings, n_centroids, centroids)
             .groupBy("vec_id")
             .agg(F.max_by("centroid_id",
                           F.struct(F.col("ccos"),
@@ -177,8 +226,8 @@ def ivf_assign(embeddings: DataFrame,
 
 def ivf_ann_topk(embeddings: DataFrame,
                  query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10,
-                 n_centroids: int = N_CENTROIDS,
-                 n_probe: int = N_PROBE) -> DataFrame:
+                 n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+                 centroids: DataFrame | None = None) -> DataFrame:
     """Approximate top-k, IVF-flat: exact cosine restricted to the inverted
     lists of each query's n_probe nearest centroids. The second scale path
     next to sign-LSH (`lsh_ann_topk`): LSH prunes by hash bucket equality,
@@ -187,8 +236,8 @@ def ivf_ann_topk(embeddings: DataFrame,
     (query_vec_id, rank, vec_id, cos); recall vs brute force is
     pytest-bounded, exactness traded like every ANN method."""
     from pyspark.sql import Window
-    assigned = ivf_assign(embeddings, n_centroids)
-    probe = (_centroid_scores(embeddings, n_centroids)
+    assigned = ivf_assign(embeddings, n_centroids, centroids)
+    probe = (_centroid_scores(embeddings, n_centroids, centroids)
              .where(F.col("vec_id").isin(list(query_ids)))
              .withColumn("rn", F.row_number().over(
                  Window.partitionBy("vec_id")

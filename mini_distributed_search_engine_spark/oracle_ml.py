@@ -215,6 +215,46 @@ r AS (SELECT query_vec_id, vec_id, cos,
 SELECT query_vec_id, rank, vec_id, cos FROM r WHERE rank <= {k}"""
 
 
+def sql_kmeans_centroids(k: int = 8, iters: int = 3) -> str:
+    # mirrors similarity.kmeans_fit: the Lloyd loop unrolled as CTE
+    # generations — assignment by rounded cosine (ties to smaller centroid
+    # id), update = per-dimension mean rounded to 6dp, empty clusters keep
+    # their previous centroid. Output flattened to (centroid_id, dim,
+    # value) for stable cross-engine hashing.
+    ctes = [f"""cents0 AS (
+  SELECT CAST(vec_id AS INT) AS centroid_id,
+         list_transform(embedding, x -> x::DOUBLE) AS ce
+  FROM embeddings WHERE vec_id < {k})"""]
+    for t in range(iters):
+        ctes.append(f"""un{t} AS (
+  SELECT e.vec_id, c.centroid_id,
+         unnest(e.embedding)::DOUBLE AS x, unnest(c.ce) AS y
+  FROM embeddings e CROSS JOIN cents{t} c),
+cs{t} AS (SELECT vec_id, centroid_id, sum(x * y) AS dot,
+                 sum(x * x) AS na, sum(y * y) AS nb
+          FROM un{t} GROUP BY 1, 2),
+rk{t} AS (SELECT vec_id, centroid_id,
+                 row_number() OVER (PARTITION BY vec_id
+                     ORDER BY round(dot / (sqrt(na) * sqrt(nb)), 6) DESC,
+                              centroid_id) AS rn
+          FROM cs{t}),
+ux{t} AS (SELECT a.centroid_id, unnest(e.embedding)::DOUBLE AS x,
+                 generate_subscripts(e.embedding, 1) AS i
+          FROM rk{t} a JOIN embeddings e USING (vec_id) WHERE a.rn = 1),
+mm{t} AS (SELECT centroid_id, list(m ORDER BY i) AS me
+          FROM (SELECT centroid_id, i, round(avg(x), 6) AS m
+                FROM ux{t} GROUP BY 1, 2) GROUP BY 1),
+cents{t + 1} AS (SELECT c.centroid_id, coalesce(mm.me, c.ce) AS ce
+                 FROM cents{t} c LEFT JOIN mm{t} mm USING (centroid_id))""")
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT CAST(centroid_id AS INT) AS centroid_id,
+       CAST(generate_subscripts(ce, 1) - 1 AS INT) AS dim,
+       unnest(ce) AS value
+FROM cents{iters}"""
+
+
 def sql_embedding_near_dup(threshold: float = 0.4) -> str:
     return f"""
 WITH pairs AS (SELECT a.vec_id AS query_vec_id, b.vec_id AS vec_id,

@@ -83,6 +83,27 @@ def test_ivf_ann_recall_and_pruning(spark):
     assert max(sizes.values()) < n           # more than one non-empty list
 
 
+def test_kmeans_recovers_planted_clusters(spark):
+    """Lloyd's loop on three well-separated planted clusters: the learned
+    centroids must induce exactly the ground-truth partition when plugged
+    into ivf_assign(centroids=...)."""
+    dim, n = 8, 30
+    rows = []
+    for i in range(n):
+        c = i % 3                      # vec 0,1,2 seed all three clusters
+        v = [0.0] * dim
+        v[c] = 1.0
+        v[3 + c] = 0.05 * ((i * 7) % 5)     # deterministic within-cluster jitter
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = S.kmeans_fit(emb, k=3, iters=4)
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in S.ivf_assign(emb, centroids=cents).collect()}
+    for i in range(n):
+        assert got[i] == got[i % 3], (i, got[i], got[i % 3])
+    assert len({got[0], got[1], got[2]}) == 3
+
+
 def test_multimodal_plumbing(spark, dup_docs):
     media = attach_fake_media(dup_docs)
     meta = {r["doc_id"]: r for r in extract_media_meta(media).collect()}
