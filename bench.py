@@ -109,13 +109,16 @@ def main() -> None:
     # ---- pack + merge (timed separately): varint segments + one merge level.
     # Partition-LOCAL encode over the doc-range-partitioned build root (no
     # posting-row shuffle; only boundary shards are spliced segment-level).
-    tp = time.perf_counter()
     avgdl = float(spark.read.parquet(str(out_dir / "doc_stats")).collect()[0]["avgdl"])
-    packed = build_packed_postings_local(
-        idx.term_doc_tf, avgdl, shard_span=max(4096, n_actual // (4 * cpus)))
-    merge_packed(packed, level_factor=4).write.mode("overwrite").parquet(
-        str(out_dir / "packed"))
-    pack_sec = time.perf_counter() - tp
+    pack_runs = int(os.environ.get("MDSE_BENCH_PACK_RUNS", "2"))
+    pack_sec = float("inf")
+    for _ in range(max(1, pack_runs)):   # min-of-N: same noise shield as build
+        tp = time.perf_counter()
+        packed = build_packed_postings_local(
+            idx.term_doc_tf, avgdl, shard_span=max(4096, n_actual // (4 * cpus)))
+        merge_packed(packed, level_factor=4).write.mode("overwrite").parquet(
+            str(out_dir / "packed"))
+        pack_sec = min(pack_sec, time.perf_counter() - tp)
 
     # ---- query latency (warm caches, per-query timings, both plans) ----
     tf = spark.read.parquet(str(out_dir / "term_doc_tf")).cache()
@@ -130,22 +133,29 @@ def main() -> None:
     packed_r = (spark.read.parquet(str(out_dir / "packed"))
                 .repartition(cpus, "shard_id").cache())
     packed_r.count()
+    query_runs = max(1, int(os.environ.get("MDSE_BENCH_QUERY_RUNS", "2")))
     per_query: dict[str, float] = {}
     per_query_wand: dict[str, float] = {}
-    for q in BENCH_QUERIES:
-        t = time.perf_counter()
-        bm25_topk(spark, tf, term_stats, doc_stats, queries=(q,)).collect()
-        per_query[q.query_id] = round(time.perf_counter() - t, 4)
-        t = time.perf_counter()
-        wand_topk(spark, packed_r, doc_stats, queries=(q,),
-                  corpus_stats=corpus_stats).collect()
-        per_query_wand[q.query_id] = round(time.perf_counter() - t, 4)
+    for q in BENCH_QUERIES:       # min-of-N per query, same noise shield
+        best = best_w = float("inf")
+        for _ in range(query_runs):
+            t = time.perf_counter()
+            bm25_topk(spark, tf, term_stats, doc_stats, queries=(q,)).collect()
+            best = min(best, time.perf_counter() - t)
+            t = time.perf_counter()
+            wand_topk(spark, packed_r, doc_stats, queries=(q,),
+                      corpus_stats=corpus_stats).collect()
+            best_w = min(best_w, time.perf_counter() - t)
+        per_query[q.query_id] = round(best, 4)
+        per_query_wand[q.query_id] = round(best_w, 4)
     # batched serving throughput: ALL queries as one Spark job (the
     # amortized per-query cost a warm query service actually pays)
-    t = time.perf_counter()
-    wand_topk(spark, packed_r, doc_stats, queries=BENCH_QUERIES,
-              corpus_stats=corpus_stats).collect()
-    batch_sec = round(time.perf_counter() - t, 4)
+    batch_sec = float("inf")
+    for _ in range(query_runs):
+        t = time.perf_counter()
+        wand_topk(spark, packed_r, doc_stats, queries=BENCH_QUERIES,
+                  corpus_stats=corpus_stats).collect()
+        batch_sec = min(batch_sec, round(time.perf_counter() - t, 4))
     lat = sorted(per_query.values())
     p50 = lat[len(lat) // 2]
     lat_w = sorted(per_query_wand.values())
