@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: conversation sessionization with
+``applyInPandasWithState``.
+
+The batch engine sessionizes with window functions
+(`operators/analytics.py:sessionize_events`); a stream cannot — the gap
+rule needs memory of the last seen timestamp per key across micro-batches.
+This is the canonical "custom stateful operator" shape: group the stream
+by key, keep a tiny fixed-size state row per key (open-session aggregate),
+fold each micro-batch's Arrow batches into it, and emit updated session
+rows. State is O(keys), never O(events); Spark checkpoints it with the
+query, so the operator resumes exactly like the rest of the pipeline.
+
+Emission contract (output mode "update"): every session TOUCHED by a
+micro-batch is emitted with its aggregates as of that batch; a later batch
+that extends a still-open session re-emits it. Downstream consumers keep
+the latest row per (conv_id, session_seq) — the parity test folds the
+emissions exactly that way and matches the batch window-function result.
+
+Ordering discipline: turns must arrive in non-decreasing event time per
+conversation across batches (the same append-only discipline the
+streaming indexer states). Within a batch any order is fine (sorted
+here); cross-batch reordering would need a watermark + buffer stage in
+front, which transcript ingestion pipelines (file drops of closed
+conversations) don't exhibit.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_SECONDS = 1800
+
+OUT_SCHEMA = ("conv_id string, session_seq int, n_turns long, "
+              "t_start double, t_end double")
+STATE_SCHEMA = "session_seq int, n_turns long, t_start double, t_end double"
+
+
+def sessionize_stream(turns: DataFrame,
+                      gap_seconds: float = GAP_SECONDS) -> DataFrame:
+    """Streaming (conv_id, session_seq, n_turns, t_start, t_end) rows from
+    a transcript turn stream; a new session starts when the gap to the
+    previous turn exceeds ``gap_seconds`` (same rule as the batch
+    sessionizer)."""
+
+    def fold(key, pdfs: Iterable, state: GroupState):
+        import pandas as pd
+        (conv_id,) = key
+        seq, n, t0, t1 = state.get if state.exists else (0, 0, 0.0, 0.0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["tsec", "turn_idx"])
+        out = []
+        for ts in rows["tsec"].to_numpy():
+            ts = float(ts)
+            if seq == 0:
+                seq, n, t0, t1 = 1, 1, ts, ts
+            elif ts - t1 > gap_seconds:
+                out.append((conv_id, seq, n, t0, t1))   # close previous
+                seq, n, t0, t1 = seq + 1, 1, ts, ts
+            else:
+                n += 1
+                t1 = ts
+        out.append((conv_id, seq, n, t0, t1))           # open-session snapshot
+        state.update((int(seq), int(n), float(t0), float(t1)))
+        yield pd.DataFrame(out, columns=["conv_id", "session_seq",
+                                         "n_turns", "t_start", "t_end"])
+
+    keyed = turns.select(
+        "conv_id", "turn_idx",
+        F.col("ts").cast("timestamp").cast("double").alias("tsec"))
+    return keyed.groupBy("conv_id").applyInPandasWithState(
+        fold, OUT_SCHEMA, STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)
