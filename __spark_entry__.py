@@ -104,6 +104,16 @@ def _bm25(stem: bool):
     return q
 
 
+def _bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval: BM25 top-k restricted to docs whose
+    role = 'user' (semi-join on the term-pruned postings; corpus stats
+    stay global — standard filtered-search semantics)."""
+    idx = _index(spark, sf_dir, stem=True)
+    allowed = idx.docs.where(F.col("role") == "user").select("doc_id")
+    return bm25_topk(spark, idx.term_doc_tf, idx.term_stats, idx.doc_stats,
+                     allowed_docs=allowed)
+
+
 def _bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-index MaxScore/WAND path; oracle = the same BM25 SQL as the
     exhaustive path (rank-identity across physical plans is the point)."""
@@ -247,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats(stem=True),
         "bm25_topk": _bm25(stem=True),
         "bm25_topk_nostem": _bm25(stem=False),
+        "bm25_topk_filtered": _bm25_filtered,
         "bm25_topk_wand": _bm25_wand,
         "bm25_topk_and": _bm25_and,
         "bm25_topk_and_wand": _bm25_and_wand,
@@ -345,6 +356,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": O.sql_doc_stats(stem=True),
         "bm25_topk": O.sql_bm25_topk(stem=True),
         "bm25_topk_nostem": O.sql_bm25_topk(stem=False),
+        "bm25_topk_filtered": O.sql_bm25_topk(
+            stem=True, doc_filter_sql="fd.role = 'user'"),
         "bm25_topk_wand": O.sql_bm25_topk(stem=True),
         "bm25_topk_and": O.sql_bm25_topk_conjunctive(stem=True),
         "bm25_topk_and_wand": O.sql_bm25_topk_conjunctive(stem=True),

@@ -180,7 +180,13 @@ def qterms_values(queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
 
 
 def sql_bm25_topk(stem: bool = True,
-                  queries: tuple[Query, ...] = DEFAULT_QUERY_SET) -> str:
+                  queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
+                  doc_filter_sql: str | None = None) -> str:
+    # doc_filter_sql (e.g. "fd.role = 'user'") mirrors bm25_topk's
+    # allowed_docs semi-join: results restricted to the filtered docs,
+    # corpus stats (idf/avgdl) stay global
+    fd_join = (f"JOIN docs fd ON fd.doc_id = tf.doc_id AND ({doc_filter_sql})"
+               if doc_filter_sql else "")
     return analyzed_terms_ctes(stem) + f"""
 , tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY 1, 2),
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
@@ -199,6 +205,7 @@ contrib AS (
   JOIN tf ON tf.term = q.term
   JOIN tstats ts ON ts.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
+  {fd_join}
   CROSS JOIN stats s),
 scores AS (SELECT query_id, k, doc_id, round(sum(c), 6) AS score
            FROM contrib GROUP BY 1, 2, 3),

@@ -68,13 +68,22 @@ def bm25_topk(spark: SparkSession, term_doc_tf: DataFrame,
               term_stats: DataFrame, doc_stats: DataFrame,
               queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
               stem: bool = True,
-              round_scores: int | None = 6) -> DataFrame:
+              round_scores: int | None = 6,
+              allowed_docs: DataFrame | None = None) -> DataFrame:
     """Exact BM25 top-k for a query set.
 
     Returns (query_id, rank, doc_id, score); score rounded to
     ``round_scores`` decimals for cross-engine comparison (ranking is done on
     the unrounded float64).
-    """
+
+    ``allowed_docs`` (a frame with a doc_id column) restricts results to a
+    metadata-filtered doc subset (e.g. role = 'user') via a semi-join on
+    the PRUNED postings — the filter meets the postings after the term
+    IN-list already cut the scan to query terms, so its cost is
+    O(matching postings), not O(index). Corpus statistics (idf, avgdl)
+    stay corpus-global, the standard filtered-search semantics. At scale
+    a selective doc filter broadcasts; a broad one falls back to a
+    shuffle join on doc_id, which AQE sizes at runtime."""
     qrows = analyzed_query_terms(queries, stem=stem)
     if not qrows:
         qrows = [("__none__", "__none__", 0)]
@@ -91,6 +100,8 @@ def bm25_topk(spark: SparkSession, term_doc_tf: DataFrame,
     sel = pruned.join(F.broadcast(qterms), "term")
     sel = sel.join(F.broadcast(term_stats.where(F.col("term").isin(term_list))),
                    "term")
+    if allowed_docs is not None:
+        sel = sel.join(allowed_docs.select("doc_id"), "doc_id", "semi")
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
     tf_part = (F.col("tf") * (K1 + 1.0)) / (
