@@ -51,12 +51,34 @@ class SearchEngine:
         self._index_root = index_root
         self._positions: DataFrame | None = None
 
+    def _ensure_tf(self) -> None:
+        if not hasattr(self, "tf"):
+            self.tf = self.spark.read.parquet(
+                f"{self._index_root}/term_doc_tf/data").cache()
+            self.tf.count()
+            self.term_stats = self.spark.read.parquet(
+                f"{self._index_root}/stats/term_stats").cache()
+            self.term_stats.count()
+
     def search_batch(self, queries: tuple[Query, ...],
-                     hydrate: bool = False, mode: str = "or") -> DataFrame:
+                     hydrate: bool = False, mode: str = "or",
+                     role: str | None = None) -> DataFrame:
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         conjunctive = mode == "and"
-        if self.use_packed:
+        if role is not None:
+            # metadata-filtered retrieval rides the exhaustive path: the
+            # packed WAND kernel scores inside opaque posting blobs where a
+            # per-doc predicate can't prune before top-k
+            if conjunctive:
+                raise ValueError("role filter supports mode='or' only")
+            from pyspark.sql import functions as F
+            self._ensure_tf()
+            allowed = self.docs.where(F.col("role") == role).select("doc_id")
+            out = bm25_topk(self.spark, self.tf, self.term_stats,
+                            self.doc_stats, queries=queries,
+                            allowed_docs=allowed)
+        elif self.use_packed:
             out = wand_topk(self.spark, self.packed, self.doc_stats,
                             queries=queries,
                             corpus_stats=self._corpus_stats,
@@ -77,9 +99,9 @@ class SearchEngine:
         return out
 
     def search(self, text: str, k: int = 10, hydrate: bool = True,
-               mode: str = "or") -> list:
+               mode: str = "or", role: str | None = None) -> list:
         df = self.search_batch((Query("q", text, k=k),), hydrate=hydrate,
-                               mode=mode)
+                               mode=mode, role=role)
         return df.orderBy("rank").collect()
 
     def _positions_df(self) -> DataFrame:

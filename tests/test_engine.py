@@ -121,3 +121,18 @@ def test_serve_job_loop(spark, index_root):
     assert "rank=1" in text and "n_docs=" in text
     assert "err\tValueError" in text
     assert "never reached" not in text
+
+
+def test_engine_role_filtered_search(spark, index_root):
+    eng = SearchEngine(spark, index_root)   # packed engine: filter falls
+    rows = eng.search("apple banana", k=50, role="user")     # back to tf path
+    assert rows, "filtered search returned nothing"
+    assert all(r["role"] == "user" for r in rows)
+    # filtered results are the role-subset of unfiltered scoring: every
+    # filtered hit appears in the unfiltered list with the SAME score
+    unfiltered = {r["doc_id"]: r["score"]
+                  for r in eng.search("apple banana", k=1000, role=None)}
+    for r in rows:
+        assert unfiltered.get(r["doc_id"]) == r["score"]
+    with pytest.raises(ValueError, match="role"):
+        eng.search("apple", mode="and", role="user")
