@@ -11,6 +11,7 @@ request and as a running p50).
 Protocol (one request per line, TSV-ish, results to stdout):
   <text>                         OR-mode BM25 top-10
   or|and <k> <text>              ranked BM25 (union / conjunctive)
+  role <role> <k> <text>         BM25 restricted to docs of a role
   phrase <k> <text>              exact phrase match (positions stage)
   suggest <n> <prefix>           autocomplete by descending df
   stats                          corpus stats + latency p50 so far
@@ -70,6 +71,10 @@ def serve(engine: SearchEngine, inp=sys.stdin, out=sys.stdout) -> list[float]:
                 continue
             if head in ("or", "and") and len(rest) == 2:
                 rows = engine.search(rest[1], k=int(rest[0]), mode=head)
+            elif head == "role" and len(rest) == 2:
+                # role <role> <k> <text> — metadata-filtered retrieval
+                which, body = rest[0], rest[1].split(" ", 1)
+                rows = engine.search(body[1], k=int(body[0]), role=which)
             elif head == "phrase" and len(rest) == 2:
                 rows = engine.search_phrase(rest[1], k=int(rest[0]))
             elif head == "suggest" and len(rest) == 2:
