@@ -88,7 +88,11 @@ def main() -> None:
     # output, so the final on-disk index is exactly one build's.
     build_runs = int(os.environ.get("MDSE_BENCH_BUILD_RUNS", "2"))
     build_sec = float("inf")
+    idx = transcripts = None
     for _ in range(max(1, build_runs)):
+        if idx is not None:
+            idx.unpersist()          # previous run's persisted TF root...
+            transcripts.unpersist()  # ...and source must not pressure this run
         t0 = time.perf_counter()
         transcripts = synthesize_transcripts(spark, n_convs)
         idx = build_index(transcripts)

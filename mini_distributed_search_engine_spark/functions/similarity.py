@@ -195,13 +195,22 @@ def kmeans_fit(embeddings: DataFrame, k: int = N_CENTROIDS,
                       .alias("sm"))
                  .select("centroid_id",
                          F.transform("sm", lambda s: s["m"]).alias("new_emb")))
-        cents = (cents.join(means, "centroid_id", "left")
-                 .select("centroid_id",
-                         F.coalesce(
-                             "new_emb",
-                             F.transform("c_emb",
-                                         lambda x: x.cast("double")))
-                         .alias("c_emb")))
+        nxt = (cents.join(means, "centroid_id", "left")
+               .select("centroid_id",
+                       F.coalesce(
+                           "new_emb",
+                           F.transform("c_emb",
+                                       lambda x: x.cast("double")))
+                       .alias("c_emb")))
+        # materialize each generation: cents appears twice in the next
+        # iteration's plan (assign + update), and without a cut the plan
+        # re-evaluates the whole chain ~2^iters times. k x dim doubles are
+        # tiny, so round-trip through the driver — also keeps plan depth
+        # constant for any iters.
+        rows = [(int(r["centroid_id"]), [float(x) for x in r["c_emb"]])
+                for r in nxt.collect()]
+        cents = embeddings.sparkSession.createDataFrame(
+            rows, "centroid_id int, c_emb array<double>")
     return cents
 
 

@@ -41,24 +41,25 @@ class SearchEngine:
             self.packed = (spark.read.parquet(f"{index_root}/merged/data")
                            .repartition(n, "shard_id").cache())
             self.packed.count()
-        else:
-            self.tf = spark.read.parquet(f"{index_root}/term_doc_tf/data").cache()
-            self.tf.count()
-            self.term_stats = spark.read.parquet(
-                f"{index_root}/stats/term_stats").cache()
-            self.term_stats.count()
         self.docs = spark.read.parquet(f"{index_root}/docs/data")
         self._index_root = index_root
         self._positions: DataFrame | None = None
+        if not use_packed:
+            self._ensure_tf()
+
+    def _ensure_term_stats(self) -> DataFrame:
+        if not hasattr(self, "term_stats"):
+            self.term_stats = self.spark.read.parquet(
+                f"{self._index_root}/stats/term_stats").cache()
+            self.term_stats.count()
+        return self.term_stats
 
     def _ensure_tf(self) -> None:
         if not hasattr(self, "tf"):
             self.tf = self.spark.read.parquet(
                 f"{self._index_root}/term_doc_tf/data").cache()
             self.tf.count()
-            self.term_stats = self.spark.read.parquet(
-                f"{self._index_root}/stats/term_stats").cache()
-            self.term_stats.count()
+            self._ensure_term_stats()
 
     def search_batch(self, queries: tuple[Query, ...],
                      hydrate: bool = False, mode: str = "or",
@@ -130,11 +131,7 @@ class SearchEngine:
         frequency (Searcher.java:319-337 '/words' + the frontend's prefix
         filter, server-side instead of shipping the whole vocabulary)."""
         from pyspark.sql import functions as F
-        if not hasattr(self, "_term_stats_s"):
-            self._term_stats_s = self.spark.read.parquet(
-                f"{self._index_root}/stats/term_stats").cache()
-            self._term_stats_s.count()
-        rows = (self._term_stats_s
+        rows = (self._ensure_term_stats()
                 .where(F.col("term").startswith(prefix.lower()))
                 .orderBy(F.col("df").desc(), F.col("term").asc())
                 .limit(n).collect())

@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import term_tokens_df
+from ..plans.pipeline import LINEAGE_SCHEMA
 from ..index.packed import (PACKED_SCHEMA, build_packed_postings,
                             merge_packed, with_global_df)
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
@@ -269,9 +270,7 @@ class StreamingIndexer:
         lineage = self.spark.createDataFrame(
             [(f"batch_{batch_id}", "stream_append", int(start), seg_dir, "",
               int(n_new), int(seg_bytes), wall_ms, time.time())],
-            "run_id string, stage string, shard_id int, term_lo string, "
-            "term_hi string, doc_count long, bytes long, wall_ms long, "
-            "committed_at double")
+            LINEAGE_SCHEMA)
         lineage.write.mode("append").parquet(str(self.root / "_lineage"))
         # committed: garbage-collect superseded files (safe to re-crash
         # here — they are no longer referenced by the manifest)
@@ -290,11 +289,20 @@ class StreamingIndexer:
         manifest to one entry, and GC superseded files. Costs O(index) I/O
         once; call it when ``len(manifest)`` crosses an ops threshold.
         Crash-safe the same way as appends: the meta commit is the atomic
-        flip, GC only runs after it, and re-crashing between the two only
-        leaves unreferenced directories (re-GC'd by the next compaction).
+        flip, GC only runs after it, and a crash between the two only
+        leaves unreferenced directories — every compact() call starts with
+        an orphan sweep (any segment/totals dir the manifest does not
+        reference), so crash leftovers from interrupted compactions OR
+        interrupted appends are reclaimed on the next call.
         """
         meta = self._meta()
         man = self._manifest(meta)
+        referenced = {e["path"] for e in man} | {f"totals_g{meta['generation']}"}
+        for p in self.root.iterdir():
+            if (p.is_dir()
+                    and p.name.startswith(("segs_g", "packed_g", "totals_g"))
+                    and p.name not in referenced):
+                shutil.rmtree(p, ignore_errors=True)
         if len(man) <= 1:
             return {"compacted": False, "entries": len(man)}
         t0 = time.time()
@@ -322,9 +330,7 @@ class StreamingIndexer:
         lineage = self.spark.createDataFrame(
             [(f"compact_g{gen}", "compact", -1, out_dir, "",
               int(n_segments), int(seg_bytes), wall_ms, time.time())],
-            "run_id string, stage string, shard_id int, term_lo string, "
-            "term_hi string, doc_count long, bytes long, wall_ms long, "
-            "committed_at double")
+            LINEAGE_SCHEMA)
         lineage.write.mode("append").parquet(str(self.root / "_lineage"))
         for p in dead:
             shutil.rmtree(self.root / p, ignore_errors=True)

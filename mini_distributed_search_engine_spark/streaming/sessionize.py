@@ -68,9 +68,14 @@ def sessionize_stream(turns: DataFrame,
         yield pd.DataFrame(out, columns=["conv_id", "session_seq",
                                          "n_turns", "t_start", "t_end"])
 
+    # drop null event times JVM-side: a null would reach pandas as NaN,
+    # where every gap comparison is False — the row would silently glue
+    # onto the open session and poison its end timestamp. Rows without an
+    # event time have no place on the time axis.
     keyed = turns.select(
         "conv_id", "turn_idx",
-        F.col("ts").cast("timestamp").cast("double").alias("tsec"))
+        F.col("ts").cast("timestamp").cast("double").alias("tsec")) \
+        .where(F.col("tsec").isNotNull())
     return keyed.groupBy("conv_id").applyInPandasWithState(
         fold, OUT_SCHEMA, STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)

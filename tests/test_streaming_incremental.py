@@ -123,7 +123,13 @@ def test_compaction_consolidates_manifest(spark, roots):
                 for r in unpack_to_rows(indexer.packed()).collect()}
     before = snapshot()
 
+    # plant a crash-orphan (unreferenced segment dir): compact() must sweep it
+    orphan = idx_root / "segs_g999"
+    orphan.mkdir()
+    (orphan / "junk").write_text("x")
+
     res = indexer.compact()
+    assert not orphan.exists()
     assert res["compacted"] and res["entries_before"] == len(meta["manifest"])
     meta2 = indexer._meta()
     assert [e["start_shard"] for e in meta2["manifest"]] == [0]
