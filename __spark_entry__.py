@@ -226,6 +226,14 @@ def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_packed(old_packed, new_tf, avgdl, shard_span=128))
 
 
+def _doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by tf*ln(N/df) — the keyword-
+    extraction labeling primitive, computed from the index's own tables."""
+    idx = _index(spark, sf_dir, stem=True)
+    n_docs = int(idx.doc_stats.collect()[0]["n_docs"])
+    return TS.doc_keywords(idx.term_doc_tf, idx.term_stats, n_docs)
+
+
 def _index_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard lineage rows from the checkpoint-resumable staged build
     (north rule: per-partition lineage written to a metrics table). Runs
@@ -304,6 +312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup": lambda s, d: S.embedding_near_dup_pairs(_emb(s, d)),
         "embed_near_dup_lsh": lambda s, d: S.embedding_near_dup_lsh(_emb(s, d)),
         "text_token_counts": lambda s, d: TS.token_counts(_docs(s, d)),
+        "doc_keywords": _doc_keywords,
         "text_lang_id": lambda s, d: TS.lang_id(_docs(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_docs(s, d)),
         "doc_fingerprint": lambda s, d: TS.doc_fingerprint(_docs(s, d)),
@@ -443,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup": OM.sql_embedding_near_dup(),
         "embed_near_dup_lsh": OM.sql_embedding_near_dup_lsh(),
         "text_token_counts": OM.sql_token_counts(),
+        "doc_keywords": O.sql_doc_keywords(stem=True),
         "text_lang_id": OM.sql_lang_id(),
         "text_quality": OM.sql_quality_score(),
         "doc_fingerprint": OM.sql_doc_fingerprint(),

@@ -53,6 +53,28 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
                        bpe.cast("long").alias("n_bpe_tokens"))
 
 
+def doc_keywords(term_doc_tf: DataFrame, term_stats: DataFrame,
+                 n_docs: int, topn: int = 5) -> DataFrame:
+    """(doc_id, rank, term, tfidf): the top-n characteristic terms per doc
+    by tf * ln(N/df), rounded to 6dp before ranking (cross-engine rank
+    stability), ties broken by term asc — the standard keyword-extraction
+    primitive for corpus labeling/tagging. Inputs are the index build's
+    own tables, so this costs one df join (AQE broadcasts it while the
+    vocabulary fits, shuffles on term beyond that) + a per-doc top-n over
+    rows that are already doc-partitioned from the fused TF pass."""
+    from pyspark.sql import Window
+    idf = F.log(F.lit(float(n_docs)) / F.col("df"))
+    scored = (term_doc_tf.join(term_stats, "term")
+              .select("doc_id", "term",
+                      F.round(F.col("tf") * idf, 6).alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= topn)
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    "term", "tfidf"))
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, hits): function-word voting; ties broken by lang

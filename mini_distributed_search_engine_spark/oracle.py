@@ -162,6 +162,23 @@ SELECT r.query_id, r.rank, r.doc_id, r.score,
 FROM ({inner}) r JOIN docs d ON d.doc_id = r.doc_id"""
 
 
+def sql_doc_keywords(stem: bool = True, topn: int = 5) -> str:
+    # mirrors textstats.doc_keywords: tf * ln(N/df) rounded to 6dp before
+    # ranking, ties by term asc
+    return analyzed_terms_ctes(stem) + f"""
+, tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY 1, 2),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+kw AS (SELECT tf.doc_id, tf.term,
+              round(tf.tf * ln(n.n_docs / ts.df), 6) AS tfidf
+       FROM tf JOIN tstats ts USING (term) CROSS JOIN n),
+ranked AS (SELECT doc_id, term, tfidf,
+                  CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+           FROM kw)
+SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= {topn}"""
+
+
 def sql_term_suggestions(stem: bool = True, prefix: str = "s",
                          limit: int = 20) -> str:
     return analyzed_terms_ctes(stem) + f"""
