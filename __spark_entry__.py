@@ -226,6 +226,15 @@ def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_packed(old_packed, new_tf, avgdl, shard_span=128))
 
 
+def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval: BM25 and embedding-cosine
+    candidate lists fused with RRF (K=60)."""
+    from mini_distributed_search_engine_spark.query.hybrid import hybrid_topk
+    idx = _index(spark, sf_dir, stem=True)
+    return hybrid_topk(spark, idx.term_doc_tf, idx.term_stats,
+                       idx.doc_stats, _emb(spark, sf_dir))
+
+
 def _doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per doc by tf*ln(N/df) — the keyword-
     extraction labeling primitive, computed from the index's own tables."""
@@ -304,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d)),
         "embed_lsh_ann_topk": lambda s, d: S.lsh_ann_topk(_emb(s, d)),
         "embed_ivf_ann_topk": lambda s, d: S.ivf_ann_topk(_emb(s, d)),
+        "hybrid_rrf_topk": _hybrid_topk,
         # iterative Lloyd loop, oracle = the same loop unrolled as SQL CTEs
         "embed_kmeans_centroids": lambda s, d: (
             S.kmeans_fit(_emb(s, d))
@@ -448,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_cosine_topk": OM.sql_cosine_topk(),
         "embed_lsh_ann_topk": OM.sql_lsh_ann_topk(),
         "embed_ivf_ann_topk": OM.sql_ivf_ann_topk(),
+        "hybrid_rrf_topk": OM.sql_hybrid_topk(),
         "embed_kmeans_centroids": OM.sql_kmeans_centroids(),
         "embed_near_dup": OM.sql_embedding_near_dup(),
         "embed_near_dup_lsh": OM.sql_embedding_near_dup_lsh(),

@@ -215,6 +215,37 @@ r AS (SELECT query_vec_id, vec_id, cos,
 SELECT query_vec_id, rank, vec_id, cos FROM r WHERE rank <= {k}"""
 
 
+def sql_hybrid_topk(pairs=None, k: int = 10, k_each: int = 20,
+                    rrf_k: int = 60) -> str:
+    # mirrors query/hybrid.py: RRF over the bm25 and cosine rank lists;
+    # both legs are the already-verified oracles nested as CTE subqueries
+    from .oracle import sql_bm25_topk
+    from .query.bm25 import Query
+    from .query.hybrid import HYBRID_QUERIES
+    pairs = pairs or HYBRID_QUERIES
+    texts = tuple(Query(qid, text, k=k_each) for qid, text, _ in pairs)
+    b_sql = sql_bm25_topk(stem=True, queries=texts)
+    c_sql = sql_cosine_topk(query_ids=tuple(v for _, _, v in pairs),
+                            k=k_each)
+    m_vals = ", ".join(f"('{qid}', {v})" for qid, _, v in pairs)
+    return f"""
+WITH b AS ({b_sql}),
+c AS ({c_sql}),
+m(query_id, qvec) AS (VALUES {m_vals}),
+u AS (SELECT query_id, doc_id, rank FROM b
+      UNION ALL
+      SELECT m.query_id, c.vec_id AS doc_id, c.rank
+      FROM c JOIN m ON m.qvec = c.query_vec_id),
+fused AS (SELECT query_id, doc_id,
+                 round(sum(1.0 / ({rrf_k} + rank)), 6) AS rrf
+          FROM u GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, rrf,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+           FROM fused)
+SELECT query_id, rank, doc_id, rrf FROM ranked WHERE rank <= {k}"""
+
+
 def sql_kmeans_centroids(k: int = 8, iters: int = 3) -> str:
     # mirrors similarity.kmeans_fit: the Lloyd loop unrolled as CTE
     # generations — assignment by rounded cosine (ties to smaller centroid

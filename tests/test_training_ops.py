@@ -201,3 +201,20 @@ def test_token_counts_literal(spark):
     assert got[1] == (2, 2)
     assert got[2] == (0, 0)
     assert got[3] == (0, 0)
+
+
+def test_hybrid_rrf_fusion(spark):
+    """RRF fusion: contiguous per-query ranks, and a doc present in both
+    candidate lists carries the sum of both reciprocal ranks."""
+    import __spark_entry__ as E
+    out = E.queries()["hybrid_rrf_topk"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1)), (q, ranks)
+        assert all(r["rrf"] > 0 for r in rs)
+    # the fused score is bounded by the two-list maximum 2/(60+1)
+    assert all(r["rrf"] <= round(2 / 61, 6) for r in rows)
