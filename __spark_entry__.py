@@ -243,6 +243,14 @@ def _doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.doc_keywords(idx.term_doc_tf, idx.term_stats, n_docs)
 
 
+def _related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI co-occurrence over per-doc keyword sets — related-term
+    discovery with pair fan-out capped at C(topn,2) per doc."""
+    idx = _index(spark, sf_dir, stem=True)
+    n_docs = int(idx.doc_stats.collect()[0]["n_docs"])
+    return TS.related_terms(idx.term_doc_tf, idx.term_stats, n_docs)
+
+
 def _index_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard lineage rows from the checkpoint-resumable staged build
     (north rule: per-partition lineage written to a metrics table). Runs
@@ -323,6 +331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_near_dup_lsh": lambda s, d: S.embedding_near_dup_lsh(_emb(s, d)),
         "text_token_counts": lambda s, d: TS.token_counts(_docs(s, d)),
         "doc_keywords": _doc_keywords,
+        "related_terms": _related_terms,
         "text_lang_id": lambda s, d: TS.lang_id(_docs(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_docs(s, d)),
         "doc_fingerprint": lambda s, d: TS.doc_fingerprint(_docs(s, d)),
@@ -464,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_near_dup_lsh": OM.sql_embedding_near_dup_lsh(),
         "text_token_counts": OM.sql_token_counts(),
         "doc_keywords": O.sql_doc_keywords(stem=True),
+        "related_terms": O.sql_related_terms(stem=True),
         "text_lang_id": OM.sql_lang_id(),
         "text_quality": OM.sql_quality_score(),
         "doc_fingerprint": OM.sql_doc_fingerprint(),

@@ -75,6 +75,37 @@ def doc_keywords(term_doc_tf: DataFrame, term_stats: DataFrame,
                     "term", "tfidf"))
 
 
+def related_terms(term_doc_tf: DataFrame, term_stats: DataFrame,
+                  n_docs: int, topn: int = 5,
+                  min_pairs: int = 2) -> DataFrame:
+    """(term_a, term_b, n_ab, pmi): pointwise mutual information over
+    co-occurring KEYWORDS — related-term discovery for query expansion /
+    taxonomy building. Pairing raw tokens is O(dl^2) per doc and explodes
+    at scale; pairing each doc's top-n keywords caps the pair fan-out at
+    C(topn,2)=10 rows per doc, so the whole op is two bounded groupBys.
+    pmi = ln(n_ab * N / (n_a * n_b)) over keyword-set membership counts,
+    rounded to 6dp; pairs ordered term_a < term_b."""
+    kw = doc_keywords(term_doc_tf, term_stats, n_docs, topn=topn) \
+        .select("doc_id", "term")
+    a = kw.select("doc_id", F.col("term").alias("term_a"))
+    b = kw.select("doc_id", F.col("term").alias("term_b"))
+    pair_counts = (a.join(b, "doc_id")
+                   .where(F.col("term_a") < F.col("term_b"))
+                   .groupBy("term_a", "term_b")
+                   .agg(F.count("*").cast("long").alias("n_ab"))
+                   .where(F.col("n_ab") >= min_pairs))
+    tc = kw.groupBy("term").agg(F.count("*").cast("long").alias("n_t"))
+    return (pair_counts
+            .join(tc.withColumnRenamed("term", "term_a")
+                    .withColumnRenamed("n_t", "n_a"), "term_a")
+            .join(tc.withColumnRenamed("term", "term_b")
+                    .withColumnRenamed("n_t", "n_b"), "term_b")
+            .select("term_a", "term_b", "n_ab",
+                    F.round(F.log(F.col("n_ab") * F.lit(float(n_docs))
+                                  / (F.col("n_a") * F.col("n_b"))), 6)
+                    .alias("pmi")))
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, hits): function-word voting; ties broken by lang

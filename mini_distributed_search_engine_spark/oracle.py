@@ -179,6 +179,31 @@ ranked AS (SELECT doc_id, term, tfidf,
 SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= {topn}"""
 
 
+def sql_related_terms(stem: bool = True, topn: int = 5,
+                      min_pairs: int = 2) -> str:
+    # mirrors textstats.related_terms over the doc_keywords output
+    return analyzed_terms_ctes(stem) + f"""
+, tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY 1, 2),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM docs),
+kwr AS (SELECT tf.doc_id, tf.term,
+               row_number() OVER (PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * ln(n.n_docs / ts.df), 6) DESC,
+                            tf.term ASC) AS rk
+        FROM tf JOIN tstats ts USING (term) CROSS JOIN n),
+kw AS (SELECT doc_id, term FROM kwr WHERE rk <= {topn}),
+pc AS (SELECT a.term AS term_a, b.term AS term_b,
+              CAST(count(*) AS BIGINT) AS n_ab
+       FROM kw a JOIN kw b ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY 1, 2 HAVING count(*) >= {min_pairs}),
+tc AS (SELECT term, CAST(count(*) AS BIGINT) AS n_t FROM kw GROUP BY 1)
+SELECT pc.term_a, pc.term_b, pc.n_ab,
+       round(ln(pc.n_ab * (SELECT n_docs FROM n)
+                / (ta.n_t * tb.n_t)), 6) AS pmi
+FROM pc JOIN tc ta ON ta.term = pc.term_a
+        JOIN tc tb ON tb.term = pc.term_b"""
+
+
 def sql_term_suggestions(stem: bool = True, prefix: str = "s",
                          limit: int = 20) -> str:
     return analyzed_terms_ctes(stem) + f"""
