@@ -179,6 +179,38 @@ SELECT user_id, CAST(session_seq AS INT) AS session_seq,
 FROM sess GROUP BY user_id, session_seq"""
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each 'click' event, the latest preceding 'view' by the same
+    user (union-window as-of join, operators/asof.py); the oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from .asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.where(F.col("event_type") == "view") \
+        .select("event_id", "user_id", "ts", "value")
+    out = asof_join(clicks, views, on=["user_id"], ts_col="ts",
+                    right_cols=("event_id", "ts", "value"))
+    epoch = lambda c: F.floor(F.col(c).cast("timestamp")
+                              .cast("double")).cast("long")  # noqa: E731
+    return out.select(
+        "event_id", "user_id", epoch("ts").alias("ts_epoch"),
+        F.col("asof_event_id").cast("long").alias("asof_event_id"),
+        epoch("asof_ts").alias("asof_ts_epoch"),
+        F.col("asof_value").alias("asof_value"))
+
+
+ASOF_SQL = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_epoch,
+       v.event_id AS asof_event_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS asof_ts_epoch,
+       v.value AS asof_value
+FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
+
 def queries() -> dict:
     return {
         "analytics_pricing_summary": pricing_summary,
@@ -187,6 +219,7 @@ def queries() -> dict:
         "analytics_windows": customer_order_windows,
         "analytics_rollup": rollup_lineitems,
         "analytics_sessionize": sessionize_events,
+        "events_asof_join": events_asof_join,
     }
 
 
@@ -198,4 +231,5 @@ def oracles() -> dict:
         "analytics_windows": WINDOWS_SQL,
         "analytics_rollup": ROLLUP_SQL,
         "analytics_sessionize": sessionize_sql(),
+        "events_asof_join": ASOF_SQL,
     }

@@ -1,0 +1,57 @@
+"""As-of join — the classic time-series operator Spark's DataFrame API
+lacks (pandas has merge_asof; DuckDB has ASOF JOIN, which is exactly what
+the oracle uses).
+
+Semantics: for each left row, attach the LATEST right row with
+``right.ts <= left.ts`` within the same key group (left join: no prior
+right row -> nulls).
+
+The naive expression is a range self-join (`l.ts >= r.ts` + a per-pair
+max), which explodes to O(|L| x |R|) candidate pairs per key before the
+aggregation. The scale shape used here is the UNION-WINDOW pattern:
+
+    tag both sides -> union -> one window per key ordered by
+    (ts, side) -> carry the last-seen right payload forward with
+    last(ignorenulls) -> keep the left rows.
+
+Cost is ONE shuffle on the key (the partitioning both inputs need
+anyway) and a single ordered pass per key — no candidate-pair blowup, no
+per-row Python. Right rows sort before left rows at equal ts, so
+equality (`>=`) is included. Among right rows sharing an exact ts the
+carried row is the last in (ts, tie) order; DuckDB's ASOF picks
+arbitrarily there, so oracle comparison assumes per-key-unique right
+timestamps (true of the events table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              ts_col: str = "ts", right_cols: tuple[str, ...] = (),
+              prefix: str = "asof_") -> DataFrame:
+    """Left as-of join; output = all left columns plus ``prefix<c>`` for
+    each c in right_cols (nulls when no right row precedes)."""
+    rpayload = right.select(*right_cols)
+    r_ddl = "struct<" + ",".join(
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in rpayload.schema.fields) + ">"
+    lt = (left.select(F.struct(*left.columns).alias("_l"), *on,
+                      F.col(ts_col).alias("_ts"))
+          .withColumn("_side", F.lit(1))
+          .withColumn("_r", F.lit(None).cast(r_ddl)))
+    rt = right.select(
+        F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
+        *on, F.col(ts_col).alias("_ts"), F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"))
+    u = lt.unionByName(rt)
+    w = (Window.partitionBy(*on)
+         .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = (u.withColumn("_carry", F.last("_r", ignorenulls=True).over(w))
+               .where(F.col("_side") == 1))
+    out_cols = [F.col("_l." + c).alias(c) for c in left.columns]
+    out_cols += [F.col("_carry." + c).alias(prefix + c) for c in right_cols]
+    return carried.select(*out_cols)
