@@ -200,6 +200,43 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_value").alias("asof_value"))
 
 
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per 'error' event: count and value-sum of the same user's 'click'
+    events in the preceding 5 minutes (bucketed range join,
+    operators/asof.py:range_join); zero-match errors kept via left join."""
+    from .asof import range_join
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error") \
+        .select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "value")
+    pairs = range_join(errors, clicks, on=["user_id"], ts_col="ts",
+                       lo=-300.0, hi=0.0, right_cols=("value",))
+    agg = (pairs.groupBy("event_id")
+           .agg(F.count("*").cast("long").alias("n_clicks_5m"),
+                F.round(F.sum("r_value"), 4).alias("sum_value_5m")))
+    return (errors.join(agg, "event_id", "left")
+            .select("event_id", "user_id",
+                    F.floor(F.col("ts").cast("timestamp").cast("double"))
+                    .cast("long").alias("ts_epoch"),
+                    F.coalesce("n_clicks_5m", F.lit(0)).cast("long")
+                    .alias("n_clicks_5m"),
+                    F.coalesce("sum_value_5m", F.lit(0.0))
+                    .alias("sum_value_5m")))
+
+
+RANGE_SQL = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT e.event_id, e.user_id,
+       CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_epoch,
+       CAST(count(c.ts) AS BIGINT) AS n_clicks_5m,
+       round(coalesce(sum(c.value), 0), 4) AS sum_value_5m
+FROM e LEFT JOIN c ON c.user_id = e.user_id
+  AND epoch(c.ts) >= epoch(e.ts) - 300 AND epoch(c.ts) < epoch(e.ts)
+GROUP BY 1, 2, 3"""
+
+
 ASOF_SQL = """
 WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 v AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view')
@@ -220,6 +257,7 @@ def queries() -> dict:
         "analytics_rollup": rollup_lineitems,
         "analytics_sessionize": sessionize_events,
         "events_asof_join": events_asof_join,
+        "events_range_join": events_range_join,
     }
 
 
@@ -232,4 +270,5 @@ def oracles() -> dict:
         "analytics_rollup": ROLLUP_SQL,
         "analytics_sessionize": sessionize_sql(),
         "events_asof_join": ASOF_SQL,
+        "events_range_join": RANGE_SQL,
     }

@@ -55,3 +55,39 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     out_cols = [F.col("_l." + c).alias(c) for c in left.columns]
     out_cols += [F.col("_carry." + c).alias(prefix + c) for c in right_cols]
     return carried.select(*out_cols)
+
+
+def range_join(left: DataFrame, right: DataFrame, on: list[str],
+               ts_col: str = "ts", lo: float = -300.0, hi: float = 0.0,
+               right_cols: tuple[str, ...] = (),
+               prefix: str = "r_") -> DataFrame:
+    """Interval/range join: every (left, right) pair within the same key
+    where ``left.ts + lo <= right.ts < left.ts + hi`` (half-open window,
+    seconds).
+
+    The naive plan is a key join followed by the range predicate — the
+    key join alone materializes O(|L| x |R|) rows per key before any
+    filtering. The scale shape here is TIME BUCKETING: width = hi - lo,
+    bucket the right side by floor(ts / width), explode each left row to
+    its (at most two) candidate buckets, equi-join on (key, bucket), then
+    apply the exact range filter. Candidate fan-out is bounded by rows
+    per bucket, and Catalyst gets a pure hash join — the same trick
+    Spark's own interval-join literature (and Flink's window join) uses.
+    Returns all left columns plus ``prefix<c>`` for each right_col."""
+    width = float(hi - lo)
+    lts = F.col(ts_col).cast("timestamp").cast("double")
+    lt = (left.select(F.struct(*left.columns).alias("_l"), *on,
+                      lts.alias("_lts"))
+          .withColumn("_bucket", F.explode(F.sequence(
+              F.floor((F.col("_lts") + F.lit(lo)) / F.lit(width)),
+              F.floor((F.col("_lts") + F.lit(hi)) / F.lit(width))))))
+    rt = right.select(
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"), *on,
+        lts.alias("_rts")).withColumn(
+            "_bucket", F.floor(F.col("_rts") / F.lit(width)))
+    joined = (lt.join(rt, [*on, "_bucket"])
+              .where((F.col("_rts") >= F.col("_lts") + F.lit(lo))
+                     & (F.col("_rts") < F.col("_lts") + F.lit(hi))))
+    out_cols = [F.col("_l." + c).alias(c) for c in left.columns]
+    out_cols += [F.col("_r." + c).alias(prefix + c) for c in right_cols]
+    return joined.select(*out_cols)
