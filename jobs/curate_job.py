@@ -41,24 +41,31 @@ def curate(spark: SparkSession, docs: DataFrame, langs: tuple[str, ...],
            min_quality: float) -> tuple[DataFrame, dict]:
     """Returns (curated docs, funnel report). Pure transforms; counts are
     the only actions."""
+    # persist each surviving stage: the funnel counts AND the final write
+    # would otherwise re-run every upstream stage (dedup md5-groupBy,
+    # token aggregations) up to 5x
+    docs = docs.persist()
     n_in = docs.count()
     canon = (exact_dedup(docs)
              .where(F.col("doc_id") == F.col("canonical_id"))
              .select("doc_id"))
-    deduped = docs.join(canon, "doc_id", "semi")
+    deduped = docs.join(canon, "doc_id", "semi").persist()
     n_dedup = deduped.count()
+    docs.unpersist()
 
     keep_lang = (lang_id(deduped)
                  .where(F.col("lang_pred").isin(list(langs)))
                  .select("doc_id"))
-    langed = deduped.join(keep_lang, "doc_id", "semi")
+    langed = deduped.join(keep_lang, "doc_id", "semi").persist()
     n_lang = langed.count()
+    deduped.unpersist()
 
     keep_q = (quality_score(langed)
               .where(F.col("quality") >= min_quality)
               .select("doc_id"))
-    curated = langed.join(keep_q, "doc_id", "semi")
+    curated = langed.join(keep_q, "doc_id", "semi").persist()
     n_q = curated.count()
+    langed.unpersist()
 
     report = {"docs_in": n_in, "after_dedup": n_dedup,
               "after_lang": n_lang, "after_quality": n_q,

@@ -71,10 +71,14 @@ def serve(engine: SearchEngine, inp=sys.stdin, out=sys.stdout) -> list[float]:
                 continue
             if head in ("or", "and") and len(rest) == 2:
                 rows = engine.search(rest[1], k=int(rest[0]), mode=head)
-            elif head == "role" and len(rest) == 2:
-                # role <role> <k> <text> — metadata-filtered retrieval
-                which, body = rest[0], rest[1].split(" ", 1)
-                rows = engine.search(body[1], k=int(body[0]), role=which)
+            elif (head == "role" and len(rest) == 2
+                  and len(body := rest[1].split(" ", 1)) == 2
+                  and body[0].isdigit()):
+                # role <role> <k> <text> — metadata-filtered retrieval.
+                # The digit check disambiguates from a plain-text query
+                # that happens to START with the word 'role' ("role of
+                # the moderator"), which falls through to default search.
+                rows = engine.search(body[1], k=int(body[0]), role=rest[0])
             elif head == "phrase" and len(rest) == 2:
                 rows = engine.search_phrase(rest[1], k=int(rest[0]))
             elif head == "suggest" and len(rest) == 2:

@@ -45,7 +45,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     rt = right.select(
         F.lit(None).cast(lt.schema["_l"].dataType).alias("_l"),
         *on, F.col(ts_col).alias("_ts"), F.lit(0).alias("_side"),
-        F.struct(*[F.col(c) for c in right_cols]).alias("_r"))
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r")) \
+        .where(F.col("_ts").isNotNull())
+    # right NULL timestamps are dropped, not sorted-first: ts >= NULL is
+    # false in the reference semantics (DuckDB ASOF, pandas merge_asof),
+    # so a timestamp-less right row must never be carried into a match
     u = lt.unionByName(rt)
     w = (Window.partitionBy(*on)
          .orderBy(F.col("_ts").asc(), F.col("_side").asc())
@@ -74,6 +78,10 @@ def range_join(left: DataFrame, right: DataFrame, on: list[str],
     per bucket, and Catalyst gets a pure hash join — the same trick
     Spark's own interval-join literature (and Flink's window join) uses.
     Returns all left columns plus ``prefix<c>`` for each right_col."""
+    if not hi > lo:
+        raise ValueError(f"range_join window must be non-empty: lo={lo}, "
+                         f"hi={hi} (width 0 would NULL the bucket math "
+                         "and silently drop every row)")
     width = float(hi - lo)
     lts = F.col(ts_col).cast("timestamp").cast("double")
     lt = (left.select(F.struct(*left.columns).alias("_l"), *on,

@@ -189,6 +189,7 @@ class StreamingIndexer:
 
         n_new = w_rows.count()
         if n_new == 0:
+            tf_dl.unpersist()   # don't leak one cached frame per empty batch
             return
         sum_dl_new = dl.agg(F.sum("dl")).collect()[0][0] or 0
         new_n = base + n_new
@@ -294,14 +295,31 @@ class StreamingIndexer:
         an orphan sweep (any segment/totals dir the manifest does not
         reference), so crash leftovers from interrupted compactions OR
         interrupted appends are reclaimed on the next call.
+
+        SINGLE-WRITER, like the sink itself (one streaming query per
+        root): the sweep only deletes dirs whose generation number is <=
+        the committed generation, so the segs_g{N+1}/totals_g{N+1} an
+        IN-FLIGHT append is writing before its meta flip are never
+        touched; a crashed append's gen-N+1 leftovers become sweepable as
+        soon as a later append advances the committed generation past
+        them. Running compact concurrently with an append to the SAME
+        root is still unsupported (both rewrite the manifest).
         """
         meta = self._meta()
         man = self._manifest(meta)
-        referenced = {e["path"] for e in man} | {f"totals_g{meta['generation']}"}
+        cur_gen = int(meta["generation"])
+        referenced = {e["path"] for e in man} | {f"totals_g{cur_gen}"}
+
+        def _gen_of(name: str) -> int:
+            try:
+                return int(name.rsplit("_g", 1)[1])
+            except (IndexError, ValueError):
+                return cur_gen + 1   # unparseable: treat as newer, keep
         for p in self.root.iterdir():
             if (p.is_dir()
                     and p.name.startswith(("segs_g", "packed_g", "totals_g"))
-                    and p.name not in referenced):
+                    and p.name not in referenced
+                    and _gen_of(p.name) <= cur_gen):
                 shutil.rmtree(p, ignore_errors=True)
         if len(man) <= 1:
             return {"compacted": False, "entries": len(man)}

@@ -109,6 +109,7 @@ def test_serve_job_loop(spark, index_root):
     inp = io.StringIO("or 5 apple banana\n"
                       "and 5 apple banana\n"
                       "role user 5 apple banana\n"
+                      "role of the moderator\n"
                       "suggest 3 s\n"
                       "stats\n"
                       "phrase 5 apple banana\n"
@@ -118,7 +119,7 @@ def test_serve_job_loop(spark, index_root):
     out = io.StringIO()
     lats = serve(eng, inp=inp, out=out)
     text = out.getvalue()
-    assert len(lats) == 5  # or, and, role, suggest, phrase
+    assert len(lats) == 6  # or, and, role, plain-role-text, suggest, phrase
     assert "rank=1" in text and "n_docs=" in text
     assert "err\tValueError" in text
     assert "never reached" not in text

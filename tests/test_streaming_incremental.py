@@ -123,13 +123,20 @@ def test_compaction_consolidates_manifest(spark, roots):
                 for r in unpack_to_rows(indexer.packed()).collect()}
     before = snapshot()
 
-    # plant a crash-orphan (unreferenced segment dir): compact() must sweep it
-    orphan = idx_root / "segs_g999"
+    # plant a crash-orphan (unreferenced, committed-range gen): compact()
+    # must sweep it — but an above-generation dir (an in-flight append's
+    # not-yet-committed output) must survive the sweep
+    orphan = idx_root / "segs_g0"
     orphan.mkdir()
     (orphan / "junk").write_text("x")
+    inflight = idx_root / "segs_g999"
+    inflight.mkdir()
+    (inflight / "part").write_text("y")
 
     res = indexer.compact()
     assert not orphan.exists()
+    assert inflight.exists()
+    shutil.rmtree(inflight)
     assert res["compacted"] and res["entries_before"] == len(meta["manifest"])
     meta2 = indexer._meta()
     assert [e["start_shard"] for e in meta2["manifest"]] == [0]
