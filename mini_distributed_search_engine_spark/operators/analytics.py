@@ -200,6 +200,28 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_value").alias("asof_value"))
 
 
+def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p95/p99 of event value per type —
+    `F.percentile` (exact linear interpolation, same definition as
+    DuckDB's quantile_cont). Exact percentiles need the full sorted group;
+    at 100 TB swap in `percentile_approx` (t-digest sketch, mergeable
+    map-side) and accept the documented error bound — the query shape is
+    identical."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile("value", F.lit(q)), 6)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.5, 0.95, 0.99)]))
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1"""
+
+
 def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per 'error' event: count and value-sum of the same user's 'click'
     events in the preceding 5 minutes (bucketed range join,
@@ -258,6 +280,7 @@ def queries() -> dict:
         "analytics_sessionize": sessionize_events,
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
+        "events_value_quantiles": events_value_quantiles,
     }
 
 
@@ -271,4 +294,5 @@ def oracles() -> dict:
         "analytics_sessionize": sessionize_sql(),
         "events_asof_join": ASOF_SQL,
         "events_range_join": RANGE_SQL,
+        "events_value_quantiles": QUANTILES_SQL,
     }
