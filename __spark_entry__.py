@@ -226,6 +226,20 @@ def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_packed(old_packed, new_tf, avgdl, shard_span=128))
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> duplicate GROUPS: connected components (iterative
+    min-label propagation) over the LSH near-dup edge list; oracle is the
+    same fixpoint as a DuckDB recursive CTE."""
+    from mini_distributed_search_engine_spark.operators.components import (
+        connected_components)
+    emb = _emb(spark, sf_dir)
+    edges = S.embedding_near_dup_lsh(emb).select("vec_a", "vec_b")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return (connected_components(nodes, edges, a_col="vec_a", b_col="vec_b")
+            .select(F.col("node").alias("vec_id"),
+                    F.col("component").cast("long").alias("component")))
+
+
 def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 and embedding-cosine
     candidate lists fused with RRF (K=60)."""
@@ -329,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.posexplode("c_emb").alias("dim", "value"))),
         "embed_near_dup": lambda s, d: S.embedding_near_dup_pairs(_emb(s, d)),
         "embed_near_dup_lsh": lambda s, d: S.embedding_near_dup_lsh(_emb(s, d)),
+        "dedup_components": _dedup_components,
         "text_token_counts": lambda s, d: TS.token_counts(_docs(s, d)),
         "doc_keywords": _doc_keywords,
         "related_terms": _related_terms,
@@ -471,6 +486,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_kmeans_centroids": OM.sql_kmeans_centroids(),
         "embed_near_dup": OM.sql_embedding_near_dup(),
         "embed_near_dup_lsh": OM.sql_embedding_near_dup_lsh(),
+        "dedup_components": OM.sql_dedup_components(),
         "text_token_counts": OM.sql_token_counts(),
         "doc_keywords": O.sql_doc_keywords(stem=True),
         "related_terms": O.sql_related_terms(stem=True),

@@ -321,6 +321,23 @@ SELECT query_vec_id AS vec_a, vec_id AS vec_b, cos
 FROM sc WHERE cos >= {threshold}"""
 
 
+def sql_dedup_components(threshold: float = 0.4) -> str:
+    # mirrors operators/components.py over the LSH near-dup pairs: the
+    # label-propagation fixpoint equals min label over the reachability
+    # set, which a recursive CTE computes directly
+    nd = sql_embedding_near_dup_lsh(threshold)
+    return f"""
+WITH RECURSIVE nd AS ({nd}),
+sym(src, dst) AS (SELECT vec_a, vec_b FROM nd
+                  UNION SELECT vec_b, vec_a FROM nd),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node)
+SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY node"""
+
+
 def sql_token_counts() -> str:
     # same lookahead-free BPE-ish regex as textstats.BPE_TOKEN_RE; RE2 and
     # Java regex agree on leftmost-first alternation for it
