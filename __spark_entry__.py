@@ -226,6 +226,24 @@ def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_packed(old_packed, new_tf, avgdl, shard_span=128))
 
 
+def _bm25_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing: the hydrated top-k list reduced to each
+    conversation's best-ranked turn, conversations re-ranked by that
+    turn's rank — the result-diversity feature (Elasticsearch 'collapse')
+    a conversation search UI needs so one long conversation can't fill
+    the whole page."""
+    from pyspark.sql import Window
+    base = _bm25_hydrated(spark, sf_dir)
+    w1 = Window.partitionBy("query_id", "conv_id").orderBy("rank")
+    best = (base.withColumn("rn", F.row_number().over(w1))
+            .where(F.col("rn") == 1))
+    w2 = Window.partitionBy("query_id").orderBy("rank")
+    return (best.withColumn("conv_rank",
+                            F.row_number().over(w2).cast("int"))
+            .where(F.col("conv_rank") <= 10)
+            .select("query_id", "conv_rank", "conv_id", "doc_id", "score"))
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate GROUPS: connected components (iterative
     min-label propagation) over the LSH near-dup edge list; oracle is the
@@ -297,6 +315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _bm25(stem=True),
         "bm25_topk_nostem": _bm25(stem=False),
         "bm25_topk_filtered": _bm25_filtered,
+        "bm25_topk_collapsed": _bm25_collapsed,
         "bm25_topk_wand": _bm25_wand,
         "bm25_topk_and": _bm25_and,
         "bm25_topk_and_wand": _bm25_and_wand,
@@ -401,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_nostem": O.sql_bm25_topk(stem=False),
         "bm25_topk_filtered": O.sql_bm25_topk(
             stem=True, doc_filter_sql="fd.role = 'user'"),
+        "bm25_topk_collapsed": O.sql_bm25_collapsed(stem=True),
         "bm25_topk_wand": O.sql_bm25_topk(stem=True),
         "bm25_topk_and": O.sql_bm25_topk_conjunctive(stem=True),
         "bm25_topk_and_wand": O.sql_bm25_topk_conjunctive(stem=True),

@@ -204,6 +204,24 @@ FROM pc JOIN tc ta ON ta.term = pc.term_a
         JOIN tc tb ON tb.term = pc.term_b"""
 
 
+def sql_bm25_collapsed(stem: bool = True, topn: int = 10) -> str:
+    """Field collapsing over the hydrated top-k: best-ranked turn per
+    conversation, conversations re-ranked by that turn's rank."""
+    inner = sql_bm25_topk_hydrated(stem=stem)
+    return f"""
+WITH h AS ({inner}),
+best AS (SELECT query_id, rank, conv_id, doc_id, score,
+                row_number() OVER (PARTITION BY query_id, conv_id
+                                   ORDER BY rank) AS rn
+         FROM h),
+ranked AS (SELECT query_id, conv_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY rank) AS INT) AS conv_rank
+           FROM best WHERE rn = 1)
+SELECT query_id, conv_rank, conv_id, doc_id, score
+FROM ranked WHERE conv_rank <= {topn}"""
+
+
 def sql_term_suggestions(stem: bool = True, prefix: str = "s",
                          limit: int = 20) -> str:
     return analyzed_terms_ctes(stem) + f"""
