@@ -33,6 +33,13 @@ def get_spark(app_name: str = "mdse-spark",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(8, int(cores * 1.5))}g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow batch size: the fused tokenize+TF pass pays a fixed
+        # per-batch Python/serde cost; 40k rows/batch measured ~13% faster
+        # than the 10k default on that pass (100k regresses — batches stop
+        # fitting comfortably in cache). Still ~100 MB-scale per batch at
+        # transcript row widths, safe for executor memory.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "40000"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
         # Shuffle spill dir: tmpfs when available. The sandbox has ONE cloud
