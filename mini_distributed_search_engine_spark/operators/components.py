@@ -7,9 +7,13 @@ Algorithm: every node starts labeled with its own id; each round a node
 takes the min of its label and its neighbors' labels; converged when no
 label changes. Rounds needed = graph diameter (near-dup clusters are
 shallow — a handful of rounds). Each round is one join + one groupBy
-(map-side partial min), materialized per iteration so the plan depth
-stays constant (same driver-loop discipline as kmeans_fit); the driver
-only ever sees one integer (the changed-label count). This is the
+(map-side partial min), then `localCheckpoint` — which, unlike persist,
+TRUNCATES the lineage, so plan depth and analysis cost stay constant no
+matter how many rounds run, and there is no unpersist bookkeeping (the
+checkpoint blocks free when the frame is garbage-collected). The
+previous round's label rides along in the same frame, so convergence is
+one filter+count on checkpointed data — no extra join. The driver only
+ever sees one integer per round (the changed-label count). This is the
 simplified form of the small-star/large-star CC algorithm (Kiveris et
 al., "Connected Components in MapReduce"), which is the drop-in upgrade
 if diameters ever get deep.
@@ -33,27 +37,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     not converged after max_iters rounds (diameter larger than expected —
     switch to small-star/large-star before raising the cap)."""
     labels = nodes.select(F.col(id_col).alias("node"),
-                          F.col(id_col).alias("label")).persist()
-    labels.count()
+                          F.col(id_col).alias("label"))
     sym = (edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
            .unionByName(
                edges.select(F.col(b_col).alias("src"),
                             F.col(a_col).alias("dst")))
            .persist())
-    sym.count()
     try:
         for _ in range(max_iters):
             neigh = (sym.join(labels, sym["src"] == labels["node"])
                      .groupBy("dst").agg(F.min("label").alias("nmin")))
             nxt = (labels.join(neigh, labels["node"] == neigh["dst"], "left")
-                   .select("node",
+                   .select("node", F.col("label").alias("old"),
                            F.least("label", F.coalesce("nmin", "label"))
-                           .alias("label")).persist())
-            changed = (nxt.alias("n")
-                       .join(labels.alias("o"), "node")
-                       .where(F.col("n.label") != F.col("o.label")).count())
-            labels.unpersist()
-            labels = nxt
+                           .alias("label"))
+                   .localCheckpoint())   # truncate lineage, no unpersist debt
+            changed = nxt.where(F.col("old") != F.col("label")).count()
+            labels = nxt.select("node", "label")
             if changed == 0:
                 return labels.select("node", F.col("label").alias("component"))
         raise RuntimeError(
