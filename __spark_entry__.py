@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": lambda s, d: TS.token_counts(_docs(s, d)),
         "doc_keywords": _doc_keywords,
         "related_terms": _related_terms,
+        "text_unigram_logppl": lambda s, d: TS.unigram_logppl(
+            _index(s, d, stem=True).term_doc_tf),
         "text_lang_id": lambda s, d: TS.lang_id(_docs(s, d)),
         "text_quality": lambda s, d: TS.quality_score(_docs(s, d)),
         "doc_fingerprint": lambda s, d: TS.doc_fingerprint(_docs(s, d)),
@@ -510,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": OM.sql_token_counts(),
         "doc_keywords": O.sql_doc_keywords(stem=True),
         "related_terms": O.sql_related_terms(stem=True),
+        "text_unigram_logppl": O.sql_unigram_logppl(stem=True),
         "text_lang_id": OM.sql_lang_id(),
         "text_quality": OM.sql_quality_score(),
         "doc_fingerprint": OM.sql_doc_fingerprint(),

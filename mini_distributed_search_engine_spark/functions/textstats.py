@@ -106,6 +106,26 @@ def related_terms(term_doc_tf: DataFrame, term_stats: DataFrame,
                     .alias("pmi")))
 
 
+def unigram_logppl(term_doc_tf: DataFrame) -> DataFrame:
+    """(doc_id, n_terms, log_ppl): per-doc log-perplexity under the
+    corpus's own unigram LM — log_ppl = -avg over token occurrences of
+    ln p(term), p(term) = corpus tf / total tf. The CCNet/Gopher-style
+    quality signal: boilerplate and keyword-stuffed docs score LOW
+    (predictable), lorem-ipsum-like noise scores HIGH. Two aggregations
+    over the existing TF table (corpus term totals broadcast back), all
+    JVM-side, rounded to 6dp."""
+    totals = term_doc_tf.groupBy("term").agg(
+        F.sum("tf").cast("double").alias("ctf"))
+    grand = totals.agg(F.sum("ctf").alias("g"))
+    scored = (term_doc_tf.join(totals, "term").crossJoin(F.broadcast(grand))
+              .select("doc_id", "tf",
+                      (F.col("tf") * -F.log(F.col("ctf") / F.col("g")))
+                      .alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.sum("tf").cast("long").alias("n_terms"),
+                 F.round(F.sum("nll") / F.sum("tf"), 6).alias("log_ppl")))
+
+
 def lang_id(docs: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred, hits): function-word voting; ties broken by lang
