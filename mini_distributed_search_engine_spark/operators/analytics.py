@@ -204,9 +204,8 @@ def events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated p50/p95/p99 of event value per type —
     `F.percentile` (exact linear interpolation, same definition as
     DuckDB's quantile_cont). Exact percentiles need the full sorted group;
-    at 100 TB swap in `percentile_approx` (t-digest sketch, mergeable
-    map-side) and accept the documented error bound — the query shape is
-    identical."""
+    at 100 TB use the sibling :func:`events_value_quantiles_approx`
+    (mergeable GK sketch, identical query shape, pytest-bounded error)."""
     ev = _t(spark, sf_dir, "events")
     return (ev.groupBy("event_type")
             .agg(*[F.round(F.percentile("value", F.lit(q)), 6)
@@ -219,6 +218,33 @@ SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.95), 6) AS p95,
        round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1"""
+
+
+def events_value_quantiles_approx(spark: SparkSession, sf_dir: str,
+                                  accuracy: int = 2_147_483_647) -> DataFrame:
+    """The 100 TB quantile path: `percentile_approx` (Greenwald-Khanna
+    sketch — mergeable, map-side partial, O(accuracy) state per group
+    instead of the full sorted group the exact `F.percentile` needs).
+
+    At the default max accuracy the sketch holds every value, so the result
+    is the exact DISCRETE quantile (an element of the data — DuckDB's
+    quantile_disc), which is what the oracle checks; a pytest lowers
+    `accuracy` and bounds the sketch error against the exact result, which
+    is the contract that actually matters at scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(*[F.round(F.percentile_approx("value", F.lit(q),
+                                               F.lit(accuracy)), 6)
+                   .alias(f"p{int(q * 100)}")
+                   for q in (0.5, 0.95, 0.99)]))
+
+
+QUANTILES_APPROX_SQL = """
+SELECT event_type,
+       round(quantile_disc(value, 0.5), 6) AS p50,
+       round(quantile_disc(value, 0.95), 6) AS p95,
+       round(quantile_disc(value, 0.99), 6) AS p99
 FROM events GROUP BY 1"""
 
 
@@ -281,6 +307,7 @@ def queries() -> dict:
         "events_asof_join": events_asof_join,
         "events_range_join": events_range_join,
         "events_value_quantiles": events_value_quantiles,
+        "events_value_quantiles_approx": events_value_quantiles_approx,
     }
 
 
@@ -295,4 +322,5 @@ def oracles() -> dict:
         "events_asof_join": ASOF_SQL,
         "events_range_join": RANGE_SQL,
         "events_value_quantiles": QUANTILES_SQL,
+        "events_value_quantiles_approx": QUANTILES_APPROX_SQL,
     }

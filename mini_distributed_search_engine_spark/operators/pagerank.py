@@ -70,12 +70,17 @@ def pagerank(edges: DataFrame, threshold: float | None = None,
 
 
 # ---------------------------------------------------------------------------
-# Oracle-able fixed-iteration variant over edges derived from documents
+# Oracle-able variants over edges derived from documents
 # ---------------------------------------------------------------------------
 
 def derived_edges(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic link graph over documents, SQL-derivable in
-    any engine: doc i links to (7i+1) mod N and (13i+3) mod N."""
+    any engine: doc i links to (7i+1) mod N and (13i+3) mod N.
+
+    Degenerate on purpose-discovered grounds: 7 and 13 are coprime to the
+    corpus sizes used in tests, so BOTH maps are bijections, in-degree is
+    uniform, and PageRank is stationary at 1.0 from iteration one. Kept for
+    back-compat; the gated queries use :func:`derived_edges_uneven`."""
     n = docs.count()
     a = docs.select(F.col("doc_id").alias("src"),
                     ((F.col("doc_id") * 7 + 1) % n).alias("dst"))
@@ -84,24 +89,62 @@ def derived_edges(docs: DataFrame) -> DataFrame:
     return a.unionByName(b)
 
 
+def derived_edges_uneven(docs: DataFrame) -> DataFrame:
+    """Deterministic link graph with NON-uniform in-degree (0..2): every doc
+    links to (7i+1) mod N; docs with i % 3 != 0 also link to (13i+3) mod N.
+    Ranks genuinely vary, so the oracle hash actually discriminates (the
+    fully-bijective graph above is rank-stationary at 1.0)."""
+    n = docs.count()
+    a = docs.select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 7 + 1) % n).alias("dst"))
+    b = (docs.where(F.col("doc_id") % 3 != 0)
+         .select(F.col("doc_id").alias("src"),
+                 ((F.col("doc_id") * 13 + 3) % n).alias("dst")))
+    return a.unionByName(b)
+
+
+# The sf0.01 gate fixture (500 docs) converges at depth 9 for the
+# reference's default threshold 0.1 (PageRank.java:159-186, default t=0.1):
+# max|delta| per iteration = 0.425, 0.542, 0.461, 0.424, 0.347, 0.295,
+# 0.238, 0.118, 0.0755 < 0.1. The oracle unrolls exactly that depth; a
+# pytest recomputes the depth dynamically at a different corpus size to
+# prove loop<->unrolled parity is not fixture luck.
+CONVERGED_THRESHOLD = 0.1
+CONVERGED_DEPTH_SF001 = 9
+
+
 def pagerank_fixed_query(spark, sf_dir: str, iters: int = 5) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    ranks = pagerank(derived_edges(docs), max_iter=iters)
+    ranks = pagerank(derived_edges_uneven(docs), max_iter=iters)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
-def pagerank_fixed_sql(iters: int = 5) -> str:
-    """Unrolled ``iters`` PageRank levels as chained CTEs (DuckDB oracle)."""
-    sql = ["""
+def pagerank_converged_query(spark, sf_dir: str,
+                             threshold: float = CONVERGED_THRESHOLD) -> DataFrame:
+    """Threshold-convergence mode (the reference's actual stopping rule,
+    PageRank.java:159-186) over the uneven derived graph."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranks = pagerank(derived_edges_uneven(docs), threshold=threshold,
+                     max_iter=64)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+_UNEVEN_EDGES_CTE = """
 WITH n_docs AS (SELECT count(*) AS n FROM documents),
 edges AS (
   SELECT DISTINCT src, dst FROM (
     SELECT doc_id AS src, (doc_id * 7 + 1) % (SELECT n FROM n_docs) AS dst
     FROM documents
     UNION ALL
-    SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM n_docs) FROM documents)),
+    SELECT doc_id, (doc_id * 13 + 3) % (SELECT n FROM n_docs)
+    FROM documents WHERE doc_id % 3 <> 0)),
 deg AS (SELECT src, count(*) AS n FROM edges GROUP BY src),
-r0 AS (SELECT DISTINCT src AS node, 1.0 AS rank FROM edges)"""]
+r0 AS (SELECT DISTINCT src AS node, 1.0 AS rank FROM edges)"""
+
+
+def unrolled_pagerank_sql(iters: int, edges_cte: str = _UNEVEN_EDGES_CTE) -> str:
+    """Unrolled ``iters`` PageRank levels as chained CTEs (DuckDB oracle)."""
+    sql = [edges_cte]
     for i in range(1, iters + 1):
         sql.append(f""",
 c{i} AS (SELECT e.dst AS node, sum({DAMPING} * r.rank / d.n) AS inc
@@ -111,3 +154,13 @@ r{i} AS (SELECT r.node, {BASE} + coalesce(c.inc, 0.0) AS rank
         FROM r{i - 1} r LEFT JOIN c{i} c ON c.node = r.node)""")
     sql.append(f"\nSELECT node, round(rank, 9) AS rank FROM r{iters}")
     return "".join(sql)
+
+
+def pagerank_fixed_sql(iters: int = 5) -> str:
+    return unrolled_pagerank_sql(iters)
+
+
+def pagerank_converged_sql(iters: int = CONVERGED_DEPTH_SF001) -> str:
+    """Oracle for the converged query: the loop unrolled to the depth the
+    threshold rule reaches on the sf0.01 gate fixture (see constant note)."""
+    return unrolled_pagerank_sql(iters)

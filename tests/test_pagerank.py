@@ -5,8 +5,11 @@ threshold 0.001)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
-from mini_distributed_search_engine_spark.operators.pagerank import pagerank
+from mini_distributed_search_engine_spark.operators.pagerank import (
+    CONVERGED_DEPTH_SF001, CONVERGED_THRESHOLD, _one_iteration,
+    derived_edges_uneven, pagerank)
 
 GOLDEN = {
     "p1": 1.191681575822917,
@@ -23,6 +26,62 @@ def test_reference_golden_graph(spark):
            for r in pagerank(edges, threshold=0.001).collect()}
     for node, expected in GOLDEN.items():
         assert got[node] == pytest.approx(expected, abs=1e-3), (node, got[node])
+
+
+def _doc_frame(spark, n):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def _converged_depth(edges, threshold):
+    """First iteration depth at which max|rank-prev| < threshold, replaying
+    the public loop's delta sequence with the same building blocks."""
+    edges = edges.select("src", "dst").distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("n"))
+    edges_deg = edges.join(deg, "src")
+    state = (edges.select(F.col("src").alias("node")).distinct()
+             .withColumn("rank", F.lit(1.0)).withColumn("prev", F.lit(1.0))
+             .localCheckpoint(eager=True))
+    for i in range(1, 64):
+        state = _one_iteration(state, edges_deg).localCheckpoint(eager=True)
+        delta = state.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev")))).collect()[0][0]
+        if delta < threshold:
+            return i
+    raise AssertionError("did not converge in 64 iterations")
+
+
+def test_uneven_graph_ranks_actually_vary(spark):
+    # the original bijective derived graph was rank-stationary at 1.0 —
+    # the uneven graph must produce genuinely varying ranks so the oracle
+    # hash discriminates
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(derived_edges_uneven(_doc_frame(spark, 60)),
+                               max_iter=5).collect()}
+    # the i%3 in-degree classes yield (at least) 3 distinct rank values —
+    # the bijective graph this replaced had exactly ONE (all 1.0)
+    assert len(set(round(v, 9) for v in ranks.values())) >= 3
+
+
+def test_converged_equals_fixed_at_measured_depth(spark):
+    # threshold run == fixed-iteration run unrolled to the measured depth,
+    # at a corpus size DIFFERENT from the sf0.01 gate fixture (proves the
+    # loop<->unrolled-oracle parity is not fixture luck)
+    edges = derived_edges_uneven(_doc_frame(spark, 200))
+    depth = _converged_depth(edges, CONVERGED_THRESHOLD)
+    conv = {r["node"]: r["rank"]
+            for r in pagerank(edges, threshold=CONVERGED_THRESHOLD,
+                              max_iter=64).collect()}
+    fixed = {r["node"]: r["rank"]
+             for r in pagerank(edges, max_iter=depth).collect()}
+    assert conv == fixed
+
+
+def test_sf001_gate_depth_constant_is_right(spark):
+    # pins CONVERGED_DEPTH_SF001: the oracle unrolls exactly this many
+    # levels for the 500-doc gate fixture (doc_ids are dense 0..N-1, so a
+    # range frame reproduces the derived graph exactly)
+    edges = derived_edges_uneven(_doc_frame(spark, 500))
+    assert _converged_depth(edges, CONVERGED_THRESHOLD) == CONVERGED_DEPTH_SF001
 
 
 def test_dangling_node_stays_alive(spark):
