@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 from mini_distributed_search_engine_spark.operators.components import (
-    connected_components)
+    connected_components, connected_components_star)
 
 
 def test_components_chain_and_isolated(spark):
@@ -18,6 +18,50 @@ def test_components_chain_and_isolated(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
+
+
+def _path_graph(spark, n):
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a long, b long")
+    return nodes, edges
+
+
+def test_deep_diameter_path_propagation_needs_diameter_rounds(spark):
+    # 60-node path: diameter 59 — min-label propagation converges only
+    # when allowed that many rounds (exercises the >=10-round regime and
+    # the max_iters guard boundary from both sides)
+    nodes, edges = _path_graph(spark, 60)
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(nodes, edges, max_iters=10)
+    got = {r["node"]: r["component"]
+           for r in connected_components(nodes, edges, max_iters=64).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_star_converges_fast_on_deep_path_and_matches(spark):
+    # small-star/large-star: O(log^2 n) rounds independent of diameter —
+    # 10 rounds suffice where propagation needed 59
+    nodes, edges = _path_graph(spark, 60)
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(nodes, edges,
+                                              max_iters=10).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
+def test_star_matches_propagation_on_mixed_graph(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    # two chains, a triangle, two isolated nodes; edges in scrambled order
+    edges = spark.createDataFrame(
+        [(3, 1), (1, 0), (2, 3), (7, 5), (5, 6), (8, 9), (9, 10), (10, 8)],
+        "a long, b long")
+    prop = {r["node"]: r["component"]
+            for r in connected_components(nodes, edges).collect()}
+    star = {r["node"]: r["component"]
+            for r in connected_components_star(nodes, edges).collect()}
+    assert star == prop
+    assert star[4] == 4 and star[11] == 11      # isolated stay singleton
+    assert star[10] == 8 and star[6] == 5       # cycle + chain collapse
 
 
 def test_components_nonconvergence_raises(spark):
