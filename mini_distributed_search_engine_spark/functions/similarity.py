@@ -245,9 +245,19 @@ def ivf_ann_topk(embeddings: DataFrame,
     (query_vec_id, rank, vec_id, cos); recall vs brute force is
     pytest-bounded, exactness traded like every ANN method."""
     from pyspark.sql import Window
-    assigned = ivf_assign(embeddings, n_centroids, centroids)
-    probe = (_centroid_scores(embeddings, n_centroids, centroids)
-             .where(F.col("vec_id").isin(list(query_ids)))
+    # resolve centroids ONCE so the probe side can pre-filter to the query
+    # vectors: with centroids=None the default frame is derived from the
+    # input (vec_id < n_centroids), and deriving it from a query-filtered
+    # frame would silently change the centroid set. Probe-side scoring is
+    # then O(|query_ids| x n_centroids) instead of a second full N x C pass.
+    cents = centroids if centroids is not None else (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c_emb")))
+    assigned = ivf_assign(embeddings, n_centroids, cents)
+    probe = (_centroid_scores(
+                 embeddings.where(F.col("vec_id").isin(list(query_ids))),
+                 n_centroids, cents)
              .withColumn("rn", F.row_number().over(
                  Window.partitionBy("vec_id")
                  .orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())))
@@ -257,6 +267,58 @@ def ivf_ann_topk(embeddings: DataFrame,
     # one centroid per vector + distinct probed centroids per query =>
     # (query_vec_id, vec_id) pairs are unique by construction, no dedup
     cands = (assigned.join(F.broadcast(probe), "centroid_id")
+             .where(F.col("vec_id") != F.col("query_vec_id")))
+    scored = cands.select(
+        "query_vec_id", "vec_id",
+        F.round(_cos(F.col("embedding"), F.col("q_emb")), 6).alias("cos"))
+    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos").desc(),
+                                                   F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_vec_id", "rank", "vec_id", "cos"))
+
+
+def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
+    """Materialize IVF inverted lists as a `centroid_id`-partitioned parquet
+    layout — the at-rest form of the IVF win: a probe-filtered scan touches
+    only ~n_probe/n_centroids of the files (Spark partition pruning on the
+    directory column), so per-query IO shrinks with the centroid count
+    instead of the corpus size. `assigned` is `ivf_assign(...)` output."""
+    (assigned.select("vec_id", "embedding", "centroid_id")
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+
+
+def ivf_partitioned_topk(spark, path: str, embeddings: DataFrame,
+                         query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10,
+                         n_centroids: int = N_CENTROIDS,
+                         n_probe: int = N_PROBE,
+                         centroids: DataFrame | None = None) -> DataFrame:
+    """`ivf_ann_topk` against the partitioned layout written by
+    :func:`ivf_write_partitioned`: probe lists are chosen from the (tiny)
+    query set vs the centroids, their ids are collected driver-side (a few
+    ints — the same literal-IN prune the BM25 path uses for terms), and the
+    corpus scan carries `centroid_id IN (...)` so Catalyst prunes unprobed
+    partition directories before any file is opened. Rank/tie-break
+    semantics identical to `ivf_ann_topk` on the same assignment."""
+    from pyspark.sql import Window
+    cents = centroids if centroids is not None else (
+        embeddings.where(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("c_emb")))
+    probe = (_centroid_scores(
+                 embeddings.where(F.col("vec_id").isin(list(query_ids))),
+                 n_centroids, cents)
+             .withColumn("rn", F.row_number().over(
+                 Window.partitionBy("vec_id")
+                 .orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())))
+             .where(F.col("rn") <= n_probe)
+             .select(F.col("vec_id").alias("query_vec_id"),
+                     F.col("embedding").alias("q_emb"), "centroid_id"))
+    probed = sorted({int(r["centroid_id"])
+                     for r in probe.select("centroid_id").distinct().collect()})
+    corpus = (spark.read.parquet(path)
+              .where(F.col("centroid_id").isin(probed)))
+    cands = (corpus.join(F.broadcast(probe), "centroid_id")
              .where(F.col("vec_id") != F.col("query_vec_id")))
     scored = cands.select(
         "query_vec_id", "vec_id",
