@@ -1,0 +1,133 @@
+"""spark-submit entrypoint: HTTP query service over a warm SearchEngine.
+
+The reference serves search over HTTP from a hand-rolled webserver
+(Integration/src/cis5550/jobs/Searcher.java:128-317 routes /search and
+/words on webserver/Server.java:147-160). This is the Spark-native
+analogue: the same warm engine `jobs/serve_job.py` drives over stdin,
+fronted by the stdlib ThreadingHTTPServer — each request is a small warm
+Spark job; Spark schedules concurrent driver threads fine, so requests
+overlap. The hand-rolled socket/HTTP layer of the reference is exactly
+the infrastructure SURVEY §7 absorbs into commodity layers.
+
+Routes (JSON replies):
+  GET /search?q=<text>&k=10&mode=or|and[&role=<role>]  ranked BM25
+  GET /phrase?q=<text>&k=10                            exact phrase match
+  GET /words?prefix=<p>&n=10                           autocomplete by df
+  GET /stats                                           corpus stats + p50
+
+Usage:
+  spark-submit --py-files mdse.zip jobs/http_serve_job.py \
+      --index /data/index_root --port 8077
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from urllib.parse import parse_qs, urlparse
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mini_distributed_search_engine_spark.query.engine import SearchEngine
+from mini_distributed_search_engine_spark.session import get_spark
+
+
+def _row_json(r) -> dict:
+    d = r.asDict()
+    return {k: d[k] for k in
+            ("rank", "doc_id", "score", "n_occ", "conv_id", "turn_idx",
+             "role", "snippet") if k in d}
+
+
+def make_handler(engine: SearchEngine, lats: list[float]):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):        # quiet: latency is logged by us
+            pass
+
+        def _json(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib handler contract)
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            t0 = time.perf_counter()
+            try:
+                if u.path == "/search":
+                    if "q" not in q:
+                        return self._json(400, {"err": "q parameter required"})
+                    k = int(q.get("k", "10"))
+                    mode = q.get("mode", "or")
+                    if mode not in ("or", "and"):
+                        return self._json(400, {"err": "mode must be or|and"})
+                    rows = engine.search(q["q"], k=k, mode=mode,
+                                         role=q.get("role"))
+                    lats.append(time.perf_counter() - t0)
+                    return self._json(200, {"rows": [_row_json(r) for r in rows],
+                                            "took_sec": round(lats[-1], 4)})
+                if u.path == "/phrase":
+                    if "q" not in q:
+                        return self._json(400, {"err": "q parameter required"})
+                    rows = engine.search_phrase(q["q"], k=int(q.get("k", "10")))
+                    lats.append(time.perf_counter() - t0)
+                    return self._json(200, {"rows": [_row_json(r) for r in rows],
+                                            "took_sec": round(lats[-1], 4)})
+                if u.path == "/words":
+                    terms = engine.suggest(q.get("prefix", ""),
+                                           n=int(q.get("n", "10")))
+                    lats.append(time.perf_counter() - t0)
+                    return self._json(200, {"terms": terms})
+                if u.path == "/stats":
+                    n, avgdl = engine._corpus_stats
+                    p50 = sorted(lats)[len(lats) // 2] if lats else 0.0
+                    return self._json(200, {
+                        "n_docs": n, "avgdl": round(avgdl, 3),
+                        "served": len(lats), "p50_sec": round(p50, 4)})
+                return self._json(404, {"err": f"no route {u.path}"})
+            except ValueError as e:       # bad k/n etc.
+                return self._json(400, {"err": str(e)})
+            except Exception as e:        # keep serving on engine errors
+                return self._json(500, {"err": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve_http(engine: SearchEngine, port: int = 0) -> ThreadingHTTPServer:
+    """Bind (port=0 -> ephemeral, for tests) and return the server; the
+    caller owns serve_forever()/shutdown()."""
+    lats: list[float] = []
+    return ThreadingHTTPServer(("127.0.0.1", port),
+                               make_handler(engine, lats))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--port", type=int, default=8077)
+    ap.add_argument("--exhaustive", action="store_true",
+                    help="serve from the uncompressed index instead of packed")
+    args = ap.parse_args()
+
+    spark = get_spark("mdse-http-serve")
+    t0 = time.perf_counter()
+    engine = SearchEngine(spark, args.index, use_packed=not args.exhaustive)
+    engine.search("warmup probe", k=1)    # prime codegen + the join path
+    srv = serve_http(engine, args.port)
+    print(f"ready\tport={srv.server_address[1]}\t"
+          f"warmup={round(time.perf_counter() - t0, 2)}s", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

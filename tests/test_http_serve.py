@@ -1,0 +1,62 @@
+"""HTTP serving smoke: the reference's Searcher HTTP surface
+(Searcher.java:128-317 /search, :319-337 /words) served from a warm
+SearchEngine through jobs/http_serve_job.py on an ephemeral port."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+from jobs.http_serve_job import serve_http
+from mini_distributed_search_engine_spark.plans.pipeline import StagedIndexBuild
+from mini_distributed_search_engine_spark.query.engine import SearchEngine
+from mini_distributed_search_engine_spark.sources.transcripts import (
+    synthesize_transcripts_pdf)
+
+
+@pytest.fixture(scope="module")
+def http_base(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("http_idx")
+    tr = spark.createDataFrame(synthesize_transcripts_pdf(40, seed=11))
+    StagedIndexBuild(spark, str(root), run_id="http").run(
+        tr, shard_span=64, merge_factor=4)
+    engine = SearchEngine(spark, str(root))
+    srv = serve_http(engine, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_search_route(http_base):
+    code, body = _get(f"{http_base}/search?q=apple+banana&k=5")
+    assert code == 200
+    assert body["rows"] and body["rows"][0]["rank"] == 1
+    assert {"doc_id", "score", "conv_id", "snippet"} <= set(body["rows"][0])
+
+
+def test_words_and_stats_routes(http_base):
+    code, body = _get(f"{http_base}/words?prefix=s&n=5")
+    assert code == 200 and all(t.startswith("s") for t in body["terms"])
+    code, body = _get(f"{http_base}/stats")
+    assert code == 200 and body["n_docs"] > 0 and body["served"] >= 1
+
+
+def test_bad_requests_get_4xx_not_500(http_base):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{http_base}/search?k=5")          # missing q
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{http_base}/search?q=x&mode=nope")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{http_base}/nope")
+    assert e.value.code == 404
