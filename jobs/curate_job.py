@@ -40,7 +40,9 @@ from mini_distributed_search_engine_spark.session import get_spark
 def curate(spark: SparkSession, docs: DataFrame, langs: tuple[str, ...],
            min_quality: float) -> tuple[DataFrame, dict]:
     """Returns (curated docs, funnel report). Pure transforms; counts are
-    the only actions."""
+    the only actions. The returned frame is still PERSISTED (the caller's
+    write would otherwise re-run the whole funnel) — the caller owns the
+    final ``curated.unpersist()`` once it has consumed the frame."""
     # persist each surviving stage: the funnel counts AND the final write
     # would otherwise re-run every upstream stage (dedup md5-groupBy,
     # token aggregations) up to 5x
@@ -88,6 +90,7 @@ def main() -> None:
     curated, report = curate(spark, docs,
                              tuple(args.langs.split(",")), args.min_quality)
     curated.write.mode("overwrite").parquet(args.out)
+    curated.unpersist()
     print(json.dumps(report))
 
 

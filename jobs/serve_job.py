@@ -73,11 +73,17 @@ def serve(engine: SearchEngine, inp=sys.stdin, out=sys.stdout) -> list[float]:
                 rows = engine.search(rest[1], k=int(rest[0]), mode=head)
             elif (head == "role" and len(rest) == 2
                   and len(body := rest[1].split(" ", 1)) == 2
-                  and body[0].isdigit()):
+                  and body[0].lstrip("+-").isdigit()):
                 # role <role> <k> <text> — metadata-filtered retrieval.
-                # The digit check disambiguates from a plain-text query
+                # The numeric check disambiguates from a plain-text query
                 # that happens to START with the word 'role' ("role of
                 # the moderator"), which falls through to default search.
+                # A clearly-numeric-but-invalid k ('-5', '+0') is an ERROR,
+                # not a silent full-text search of the whole line.
+                if not body[0].isdigit():
+                    reply("err\trole query k must be a non-negative "
+                          "integer: role <role> <k> <text>")
+                    continue
                 rows = engine.search(body[1], k=int(body[0]), role=rest[0])
             elif head == "phrase" and len(rest) == 2:
                 rows = engine.search_phrase(rest[1], k=int(rest[0]))

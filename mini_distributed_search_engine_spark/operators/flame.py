@@ -168,13 +168,23 @@ def mappartitions_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     The returned frame scans the SAVED copy, so the oracle checks the whole
 #     write→read lifecycle, not just the aggregate.
 def save_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     out = (_t(spark, sf_dir, "lineitem")
            .groupBy("l_returnflag", "l_linestatus")
            .agg(F.count("*").cast("long").alias("cnt"),
                 F.sum("l_quantity").alias("sum_qty"))
            .persist())
-    path = f"{tempfile.gettempdir()}/mdse_flame_save_roundtrip"
-    out.write.mode("overwrite").parquet(path)       # saveAsTable
-    out.unpersist()                                 # destroy
-    return spark.read.parquet(path)                 # collect happens driver-side
+    # mkdtemp per invocation: a FIXED shared path raced when two
+    # correctness runs on one host overwrote/rmtree'd it mid-read
+    path = tempfile.mkdtemp(prefix="mdse_flame_save_roundtrip_")
+    try:
+        out.write.mode("overwrite").parquet(path)   # saveAsTable
+        out.unpersist()                             # destroy
+        saved = spark.read.parquet(path)
+        # localize the 6-row read-back so the scratch dir can be removed
+        # before return (the lifecycle under test — write, read back — has
+        # already executed against the saved copy)
+        return spark.createDataFrame(saved.collect(), saved.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

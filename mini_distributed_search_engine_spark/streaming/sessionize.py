@@ -49,6 +49,17 @@ def sessionize_stream(turns: DataFrame,
     def fold(key, pdfs: Iterable, state: GroupState):
         import pandas as pd
         (conv_id,) = key
+        if state.hasTimedOut:
+            # conversation idle well past the gap: emit the final closed
+            # session one last time (an idempotent update for a sink keyed
+            # on (conv_id, session_seq)) and DROP the state, so long-running
+            # state scales with OPEN sessions, not total key cardinality.
+            seq, n, t0, t1 = state.get
+            state.remove()
+            yield pd.DataFrame([(conv_id, seq, n, t0, t1)],
+                               columns=["conv_id", "session_seq", "n_turns",
+                                        "t_start", "t_end"])
+            return
         seq, n, t0, t1 = state.get if state.exists else (0, 0, 0.0, 0.0)
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["tsec", "turn_idx"])
@@ -65,6 +76,9 @@ def sessionize_stream(turns: DataFrame,
                 t1 = ts
         out.append((conv_id, seq, n, t0, t1))           # open-session snapshot
         state.update((int(seq), int(n), float(t0), float(t1)))
+        # evict state for conversations idle 2x the session gap (processing
+        # time: by then the gap rule guarantees the session is closed)
+        state.setTimeoutDuration(int(gap_seconds * 2 * 1000))
         yield pd.DataFrame(out, columns=["conv_id", "session_seq",
                                          "n_turns", "t_start", "t_end"])
 
@@ -78,4 +92,4 @@ def sessionize_stream(turns: DataFrame,
         .where(F.col("tsec").isNotNull())
     return keyed.groupBy("conv_id").applyInPandasWithState(
         fold, OUT_SCHEMA, STATE_SCHEMA, "update",
-        GroupStateTimeout.NoTimeout)
+        GroupStateTimeout.ProcessingTimeTimeout)
