@@ -259,6 +259,42 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("component").cast("long").alias("component")))
 
 
+def _dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-group fixpoint as `dedup_components`, computed with
+    the small-star/large-star algorithm (O(log^2 n) rounds independent of
+    graph diameter — the deep-graph scale path). Identical oracle: the
+    component label is the min vec_id reachable, however it is computed."""
+    from mini_distributed_search_engine_spark.operators.components import (
+        connected_components_star)
+    emb = _emb(spark, sf_dir)
+    edges = S.embedding_near_dup_lsh(emb).select("vec_a", "vec_b")
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return (connected_components_star(nodes, edges,
+                                      a_col="vec_a", b_col="vec_b")
+            .select(F.col("node").alias("vec_id"),
+                    F.col("component").cast("long").alias("component")))
+
+
+def _ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k against the centroid_id-partitioned AT-REST layout:
+    inverted lists are written `partitionBy("centroid_id")`, the probed
+    centroid ids become a literal IN on the scan, and Catalyst prunes
+    unprobed partition directories before any file opens (per-query IO ~
+    n_probe/n_centroids of the corpus). Oracle identical to
+    `embed_ivf_ann_topk` — the layout changes IO, not ranks."""
+    import shutil
+    import tempfile
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="mdse_ivf_partitioned_")
+    try:
+        S.ivf_write_partitioned(S.ivf_assign(emb), root)
+        out = S.ivf_partitioned_topk(spark, root, emb)
+        # localize the 30-row result so the scratch layout can be removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 and embedding-cosine
     candidate lists fused with RRF (K=60)."""
@@ -367,7 +403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": _bm25_filtered,
         "bm25_topk_collapsed": _bm25_collapsed,
         "bm25_topk_wand": _bm25_wand,
-        "bm25_topk_and": _bm25_and,
         "bm25_topk_and_wand": _bm25_and_wand,
         "bm25_topk_hydrated": _bm25_hydrated,
         "tfidf_blend_topk": _tfidf_blend,
@@ -383,7 +418,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_candidates": lambda s, d: D.lsh_candidate_pairs(
             D.minhash_signatures(_docs(s, d))),
         "dedup_components": _dedup_components,
+        # NEW round 3: deep-diameter CC path, same fixpoint oracle
+        "dedup_components_star": _dedup_components_star,
         "embed_ivf_ann_topk": lambda s, d: S.ivf_ann_topk(_emb(s, d)),
+        # NEW round 3: partition-pruned at-rest IVF layout, same rank oracle
+        "embed_ivf_partitioned_topk": _ivf_partitioned_topk,
         # iterative Lloyd loop, oracle = the same loop unrolled as SQL CTEs
         "embed_kmeans_centroids": lambda s, d: (
             S.kmeans_fit(_emb(s, d))
@@ -393,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # everything below is driver-green in BOTH r1 and r2 (selfcheck still
         # covers them every round via tools/selfcheck.py)
         "term_doc_tf_nostem": _q_term_doc_tf(stem=False),
+        "bm25_topk_and": _bm25_and,
         "bm25_topk_nostem": _bm25(stem=False),
         "flame_groupby_salted": _groupby_salted,
         # Flame operator analogues (SURVEY.md §2.1)
@@ -566,7 +606,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": OM.sql_dedup_exact(),
         "dedup_lsh_candidates": OM.sql_lsh_candidates(),
         "dedup_components": OM.sql_dedup_components(),
+        "dedup_components_star": OM.sql_dedup_components(),
         "embed_ivf_ann_topk": OM.sql_ivf_ann_topk(),
+        "embed_ivf_partitioned_topk": OM.sql_ivf_ann_topk(),
         "embed_kmeans_centroids": OM.sql_kmeans_centroids(),
         # --- past the driver window ---
         "hybrid_rrf_topk": OM.sql_hybrid_topk(),
