@@ -199,26 +199,49 @@ def term_doc_tf_pandas(df: DataFrame, text_col: str = "text",
                    .str.strip())
             toks = txt.str.split()
             lens = toks.str.len().fillna(0).astype(np.int64)
-            flat = pd.DataFrame({
-                doc_col: np.repeat(pdf[doc_col].to_numpy(), lens),
-                "tok": np.concatenate(toks.to_numpy())
-                if int(lens.sum()) else np.empty(0, dtype=object),
-            })
-            if len(flat):
-                t = flat["tok"]
-                keep = (~t.isin(stop) & (t.str.len() <= MAX_WORD_LEN)
-                        & ~t.str.contains(digit_re, regex=True))
-                flat = flat[keep]
-            if stem and len(flat):
-                uniq = pd.unique(flat["tok"])
-                mapping = {u: stem_tok(u) for u in uniq}
-                flat = flat.assign(term=flat["tok"].map(mapping))
+            doc_rep = np.repeat(pdf[doc_col].to_numpy(), lens)
+            tok_arr = (np.concatenate(toks.to_numpy())
+                       if int(lens.sum()) else np.empty(0, dtype=object))
+            # ONE hash pass over the occurrences (factorize); every string
+            # operation after this point — stop/junk/length filters, the
+            # Porter stem, the post-stem stop filter — runs once per UNIQUE
+            # token (O(vocabulary), which Zipf keeps tiny relative to
+            # occurrences) and is applied back by int-code indexing. The
+            # per-occurrence work left is int64 take + int64 groupby.
+            if len(tok_arr):
+                codes, uniq = pd.factorize(tok_arr, sort=False)
+                uniq_s = pd.Series(uniq, dtype=object)
+                pre = (~uniq_s.isin(stop)
+                       & (uniq_s.str.len() <= MAX_WORD_LEN)
+                       & ~uniq_s.str.contains(digit_re, regex=True)
+                       ).to_numpy()
+                if stem:
+                    stems = np.array(
+                        [stem_tok(u) if k else None
+                         for u, k in zip(uniq, pre)], dtype=object)
+                else:
+                    stems = np.where(pre, uniq, None)
+                post = pre & ~pd.Series(stems, dtype=object).isin(stop) \
+                    .to_numpy()
+                u_tcode = np.full(len(uniq), -1, dtype=np.int64)
+                kept_idx = np.nonzero(post)[0]
+                t_codes_kept, t_uniq = pd.factorize(stems[kept_idx],
+                                                    sort=False)
+                u_tcode[kept_idx] = t_codes_kept
+                occ_t = u_tcode[codes]
+                occ_mask = occ_t >= 0
+                out = (pd.DataFrame({doc_col: doc_rep[occ_mask],
+                                     "_tc": occ_t[occ_mask]})
+                       .groupby([doc_col, "_tc"], sort=False)
+                       .size().reset_index(name="tf"))
+                out["term"] = pd.Series(
+                    np.asarray(t_uniq, dtype=object)[out["_tc"].to_numpy()]
+                    if len(out) else np.empty(0, dtype=object),
+                    dtype=object)
             else:
-                flat = flat.assign(term=flat["tok"])
-            if len(flat):
-                flat = flat[~flat["term"].isin(stop)]
-            out = (flat.groupby([doc_col, "term"], sort=False)
-                   .size().reset_index(name="tf"))
+                out = pd.DataFrame({doc_col: np.empty(0, dtype=np.int64),
+                                    "term": pd.Series(dtype=object),
+                                    "tf": np.empty(0, dtype=np.int64)})
             if not with_dl:
                 yield pd.DataFrame({
                     "term": out["term"],
