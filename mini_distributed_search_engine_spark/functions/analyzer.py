@@ -313,29 +313,43 @@ def term_positions_pandas(df: DataFrame, text_col: str = "text",
                    .str.strip())
             toks = txt.str.split()
             lens = toks.str.len().fillna(0).astype(np.int64)
-            flat = pd.DataFrame({
-                doc_col: np.repeat(pdf[doc_col].to_numpy(), lens),
-                "tok": np.concatenate(toks.to_numpy())
-                if int(lens.sum()) else np.empty(0, dtype=object),
-            })
-            if len(flat):
-                t = flat["tok"]
-                keep = (~t.isin(stop) & (t.str.len() <= MAX_WORD_LEN)
-                        & ~t.str.contains(digit_re, regex=True))
-                flat = flat[keep]
-            if stem and len(flat):
-                uniq = pd.unique(flat["tok"])
-                mapping = {u: stem_tok(u) for u in uniq}
-                flat = flat.assign(term=flat["tok"].map(mapping))
+            doc_rep = np.repeat(pdf[doc_col].to_numpy(), lens)
+            tok_arr = (np.concatenate(toks.to_numpy())
+                       if int(lens.sum()) else np.empty(0, dtype=object))
+            if not len(tok_arr):
+                yield pd.DataFrame({
+                    doc_col: np.empty(0, dtype=np.int64),
+                    "term": pd.Series(dtype=object),
+                    "pos": np.empty(0, dtype=np.int32)})
+                continue
+            # same shape as term_doc_tf_pandas: one factorize hash pass
+            # over occurrences, all string work per UNIQUE token, filters
+            # and the stem applied back via int-code indexing
+            codes, uniq = pd.factorize(tok_arr, sort=False)
+            uniq_s = pd.Series(uniq, dtype=object)
+            pre = (~uniq_s.isin(stop)
+                   & (uniq_s.str.len() <= MAX_WORD_LEN)
+                   & ~uniq_s.str.contains(digit_re, regex=True)).to_numpy()
+            if stem:
+                stems = np.array([stem_tok(u) if k else None
+                                  for u, k in zip(uniq, pre)], dtype=object)
             else:
-                flat = flat.assign(term=flat["tok"])
-            if len(flat):
-                flat = flat[~flat["term"].isin(stop)]
-            pos = (flat.groupby(doc_col, sort=False).cumcount()
-                   if len(flat) else pd.Series(dtype="int64"))
+                stems = np.where(pre, uniq, None)
+            post = pre & ~pd.Series(stems, dtype=object).isin(stop) \
+                .to_numpy()
+            u_keep = np.where(post, np.arange(len(uniq)), -1)
+            occ_u = u_keep[codes]
+            occ_mask = occ_u >= 0
+            docs_kept = doc_rep[occ_mask]
+            terms_kept = stems[occ_u[occ_mask]]
+            # per-doc position = index in the SURVIVING term sequence
+            # (flattened order is doc-major and in-doc order already)
+            pos = (pd.Series(docs_kept).groupby(docs_kept, sort=False)
+                   .cumcount() if len(docs_kept) else
+                   pd.Series(dtype="int64"))
             yield pd.DataFrame({
-                doc_col: flat[doc_col].astype("int64"),
-                "term": flat["term"],
+                doc_col: docs_kept.astype("int64"),
+                "term": pd.Series(terms_kept, dtype=object),
                 "pos": pos.astype("int32"),
             })
 
