@@ -186,6 +186,34 @@ def _phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(spark, term_positions_pandas(docs, "text", stem=True))
 
 
+def _text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-term bigrams over the analyzed corpus — phrase/
+    collocation statistics for training-data analysis. Engine path:
+    fused shifted-array pass with per-partition partial counts
+    (O(bigram-vocab) rows shuffled); oracle path: positional self-join —
+    two algorithms, one answer."""
+    from mini_distributed_search_engine_spark.functions.analyzer import (
+        bigram_counts_pandas)
+    from pyspark.sql import Window
+    docs = with_stable_doc_ids(transcripts_from_documents(spark, sf_dir))
+    big = bigram_counts_pandas(docs, "text", stem=True)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("t1").asc(),
+                       F.col("t2").asc())
+    return (big.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 50).select("rank", "t1", "t2", "cnt"))
+
+
+def _docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source downsampling via a 32-bit md5 hash gate —
+    the reproducible curation-sampling primitive (src0 kept at 10%, src1
+    at 25%, everything else at 50%); a pure narrow filter at any scale."""
+    from mini_distributed_search_engine_spark.functions.sampling import (
+        stratified_sample)
+    return stratified_sample(_docs(spark, sf_dir), "source",
+                             {"src0": 10, "src1": 25}, 50,
+                             "doc_id").select("doc_id", "source", "lang")
+
+
 def _term_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocomplete surface (Searcher.java:319-337 '/words' + client prefix
     filter): terms by document frequency under a prefix."""
@@ -382,6 +410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             attach_fake_media(_docs(s, d))).drop("frame"),
         "multimodal_embed": lambda s, d: embed_media(
             attach_fake_media(_docs(s, d))),
+        # NEW round 3: collocation stats + deterministic curation sampling
+        "text_bigrams": _text_bigrams,
+        "docs_sample_stratified": _docs_sample_stratified,
         # --- part 2: green in r1 only (rotated out of the r2 window) ---
         "analytics_pricing_summary": A["analytics_pricing_summary"],
         "analytics_top_unshipped": A["analytics_top_unshipped"],
@@ -405,9 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": _bm25_wand,
         "bm25_topk_and_wand": _bm25_and_wand,
         "bm25_topk_hydrated": _bm25_hydrated,
-        "tfidf_blend_topk": _tfidf_blend,
         "tfidf_rerank_topk": _tfidf_rerank,
-        "term_suggestions": _term_suggestions,
         "term_positions": _positions,
         "phrase_match": _phrase,
         "packed_roundtrip": _packed_roundtrip,
@@ -433,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # covers them every round via tools/selfcheck.py)
         "term_doc_tf_nostem": _q_term_doc_tf(stem=False),
         "bm25_topk_and": _bm25_and,
+        "tfidf_blend_topk": _tfidf_blend,
+        "term_suggestions": _term_suggestions,
         "bm25_topk_nostem": _bm25(stem=False),
         "flame_groupby_salted": _groupby_salted,
         # Flame operator analogues (SURVEY.md §2.1)
@@ -510,6 +541,8 @@ def oracle_sql() -> dict[str, str]:
         "text_unigram_logppl": O.sql_unigram_logppl(stem=True),
         "multimodal_frame_sample": OM.sql_frame_sample(),
         "multimodal_embed": OM.sql_embed_media(),
+        "text_bigrams": O.sql_text_bigrams(stem=True),
+        "docs_sample_stratified": OM.sql_stratified_sample(),
         "analytics_pricing_summary": AO["analytics_pricing_summary"],
         "analytics_top_unshipped": AO["analytics_top_unshipped"],
         "analytics_forecast_revenue": AO["analytics_forecast_revenue"],

@@ -139,6 +139,79 @@ def term_tokens_df(df: DataFrame, text_col: str = "text",
     return toks.where(~F.col("term").isin(*STOP_WORDS)).select(*kept, "term")
 
 
+def _make_stem_memo():
+    """Per-partition memoized Porter stem (incl. the overlong-stem tail
+    truncation) — O(vocabulary) Python calls per partition lifetime."""
+    memo: dict[str, str] = {}
+
+    def stem_tok(t: str) -> str:
+        s = memo.get(t)
+        if s is None:
+            s = porter_stem(t)
+            if len(s) > MAX_WORD_LEN:
+                s = s[-MAX_WORD_LEN:]
+            memo[t] = s
+        return s
+    return stem_tok
+
+
+def _batch_term_codes(pdf, text_col: str, doc_col: str, stem: bool,
+                      stem_tok):
+    """Analyze one Arrow batch to ``(docs_kept, term_codes, t_uniq)`` —
+    the shared core of every fused pandas pass (TF, positions, bigrams).
+
+    ONE hash pass over the token occurrences (`pd.factorize`); every
+    string operation after that — stop/junk/length filters, the Porter
+    stem, the post-stem stop filter — runs once per UNIQUE token
+    (O(vocabulary), which Zipf keeps tiny relative to occurrences) and is
+    applied back by int-code indexing, so the only per-occurrence work is
+    int64 take. ``docs_kept`` is int64 doc ids of surviving occurrences in
+    doc-major in-doc order, ``term_codes`` their int64 codes into the
+    object array ``t_uniq`` of analyzed terms. Null text tokenizes to []
+    (arbitrary --documents parquet can carry null text)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    digit_re = re.compile("[0-9]")
+    stop = STOP_WORDS
+    txt = (pdf[text_col].fillna("").str.lower()
+           .str.replace(_TAG_RE, " ", regex=True)
+           .str.replace(_NON_ALNUM_RE, " ", regex=True)
+           .str.strip())
+    toks = txt.str.split()
+    lens = toks.str.len().fillna(0).astype(np.int64)
+    doc_rep = np.repeat(pdf[doc_col].to_numpy(), lens)
+    tok_arr = (np.concatenate(toks.to_numpy())
+               if int(lens.sum()) else np.empty(0, dtype=object))
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64),
+             np.empty(0, dtype=object))
+    if not len(tok_arr):
+        return empty
+    codes, uniq = pd.factorize(tok_arr, sort=False)
+    uniq_s = pd.Series(uniq, dtype=object)
+    pre = (~uniq_s.isin(stop)
+           & (uniq_s.str.len() <= MAX_WORD_LEN)
+           & ~uniq_s.str.contains(digit_re, regex=True)).to_numpy()
+    if stem:
+        stems = np.array([stem_tok(u) if k else None
+                          for u, k in zip(uniq, pre)], dtype=object)
+    else:
+        stems = np.where(pre, uniq, None)
+    post = pre & ~pd.Series(stems, dtype=object).isin(stop).to_numpy()
+    u_tcode = np.full(len(uniq), -1, dtype=np.int64)
+    kept_idx = np.nonzero(post)[0]
+    if not len(kept_idx):
+        return empty
+    t_codes_kept, t_uniq = pd.factorize(stems[kept_idx], sort=False)
+    u_tcode[kept_idx] = t_codes_kept
+    occ_t = u_tcode[codes]
+    occ_mask = occ_t >= 0
+    return (doc_rep[occ_mask].astype(np.int64), occ_t[occ_mask],
+            np.asarray(t_uniq, dtype=object))
+
+
 def term_doc_tf_pandas(df: DataFrame, text_col: str = "text",
                        doc_col: str = "doc_id",
                        stem: bool = True,
@@ -168,74 +241,21 @@ def term_doc_tf_pandas(df: DataFrame, text_col: str = "text",
     plain-Python `analyze` mirror is the shared spec, and equality is
     pytest-enforced (tests/test_analyzer.py).
     """
-    import re
-
     import numpy as np
     import pandas as pd
 
-    tag_re, non_alnum_re = _TAG_RE, _NON_ALNUM_RE
-    stop = STOP_WORDS
-    digit_re = re.compile("[0-9]")
-
     def gen(batches):
-        memo: dict[str, str] = {}
-
-        def stem_tok(t: str) -> str:
-            s = memo.get(t)
-            if s is None:
-                s = porter_stem(t)
-                if len(s) > MAX_WORD_LEN:
-                    s = s[-MAX_WORD_LEN:]
-                memo[t] = s
-            return s
+        stem_tok = _make_stem_memo()
 
         for pdf in batches:
-            # Null text rows must tokenize to [] (not NaN): a NaN in
-            # toks.to_numpy() crashes np.concatenate, and arbitrary
-            # --documents parquet can carry null text.
-            txt = (pdf[text_col].fillna("").str.lower()
-                   .str.replace(tag_re, " ", regex=True)
-                   .str.replace(non_alnum_re, " ", regex=True)
-                   .str.strip())
-            toks = txt.str.split()
-            lens = toks.str.len().fillna(0).astype(np.int64)
-            doc_rep = np.repeat(pdf[doc_col].to_numpy(), lens)
-            tok_arr = (np.concatenate(toks.to_numpy())
-                       if int(lens.sum()) else np.empty(0, dtype=object))
-            # ONE hash pass over the occurrences (factorize); every string
-            # operation after this point — stop/junk/length filters, the
-            # Porter stem, the post-stem stop filter — runs once per UNIQUE
-            # token (O(vocabulary), which Zipf keeps tiny relative to
-            # occurrences) and is applied back by int-code indexing. The
-            # per-occurrence work left is int64 take + int64 groupby.
-            if len(tok_arr):
-                codes, uniq = pd.factorize(tok_arr, sort=False)
-                uniq_s = pd.Series(uniq, dtype=object)
-                pre = (~uniq_s.isin(stop)
-                       & (uniq_s.str.len() <= MAX_WORD_LEN)
-                       & ~uniq_s.str.contains(digit_re, regex=True)
-                       ).to_numpy()
-                if stem:
-                    stems = np.array(
-                        [stem_tok(u) if k else None
-                         for u, k in zip(uniq, pre)], dtype=object)
-                else:
-                    stems = np.where(pre, uniq, None)
-                post = pre & ~pd.Series(stems, dtype=object).isin(stop) \
-                    .to_numpy()
-                u_tcode = np.full(len(uniq), -1, dtype=np.int64)
-                kept_idx = np.nonzero(post)[0]
-                t_codes_kept, t_uniq = pd.factorize(stems[kept_idx],
-                                                    sort=False)
-                u_tcode[kept_idx] = t_codes_kept
-                occ_t = u_tcode[codes]
-                occ_mask = occ_t >= 0
-                out = (pd.DataFrame({doc_col: doc_rep[occ_mask],
-                                     "_tc": occ_t[occ_mask]})
+            docs_kept, tcodes, t_uniq = _batch_term_codes(
+                pdf, text_col, doc_col, stem, stem_tok)
+            if len(docs_kept):
+                out = (pd.DataFrame({doc_col: docs_kept, "_tc": tcodes})
                        .groupby([doc_col, "_tc"], sort=False)
                        .size().reset_index(name="tf"))
                 out["term"] = pd.Series(
-                    np.asarray(t_uniq, dtype=object)[out["_tc"].to_numpy()]
+                    t_uniq[out["_tc"].to_numpy()]
                     if len(out) else np.empty(0, dtype=object),
                     dtype=object)
             else:
@@ -285,76 +305,79 @@ def term_positions_pandas(df: DataFrame, text_col: str = "text",
     JVM alternative posexplode+window hash-exchanges O(token occurrences)
     rows — the same wide shuffle `term_doc_tf_pandas` eliminated for TF.
     """
-    import re
-
     import numpy as np
     import pandas as pd
 
-    tag_re, non_alnum_re = _TAG_RE, _NON_ALNUM_RE
-    stop = STOP_WORDS
-    digit_re = re.compile("[0-9]")
-
     def gen(batches):
-        memo: dict[str, str] = {}
-
-        def stem_tok(t: str) -> str:
-            s = memo.get(t)
-            if s is None:
-                s = porter_stem(t)
-                if len(s) > MAX_WORD_LEN:
-                    s = s[-MAX_WORD_LEN:]
-                memo[t] = s
-            return s
+        stem_tok = _make_stem_memo()
 
         for pdf in batches:
-            txt = (pdf[text_col].fillna("").str.lower()
-                   .str.replace(tag_re, " ", regex=True)
-                   .str.replace(non_alnum_re, " ", regex=True)
-                   .str.strip())
-            toks = txt.str.split()
-            lens = toks.str.len().fillna(0).astype(np.int64)
-            doc_rep = np.repeat(pdf[doc_col].to_numpy(), lens)
-            tok_arr = (np.concatenate(toks.to_numpy())
-                       if int(lens.sum()) else np.empty(0, dtype=object))
-            if not len(tok_arr):
+            docs_kept, tcodes, t_uniq = _batch_term_codes(
+                pdf, text_col, doc_col, stem, stem_tok)
+            if not len(docs_kept):
                 yield pd.DataFrame({
                     doc_col: np.empty(0, dtype=np.int64),
                     "term": pd.Series(dtype=object),
                     "pos": np.empty(0, dtype=np.int32)})
                 continue
-            # same shape as term_doc_tf_pandas: one factorize hash pass
-            # over occurrences, all string work per UNIQUE token, filters
-            # and the stem applied back via int-code indexing
-            codes, uniq = pd.factorize(tok_arr, sort=False)
-            uniq_s = pd.Series(uniq, dtype=object)
-            pre = (~uniq_s.isin(stop)
-                   & (uniq_s.str.len() <= MAX_WORD_LEN)
-                   & ~uniq_s.str.contains(digit_re, regex=True)).to_numpy()
-            if stem:
-                stems = np.array([stem_tok(u) if k else None
-                                  for u, k in zip(uniq, pre)], dtype=object)
-            else:
-                stems = np.where(pre, uniq, None)
-            post = pre & ~pd.Series(stems, dtype=object).isin(stop) \
-                .to_numpy()
-            u_keep = np.where(post, np.arange(len(uniq)), -1)
-            occ_u = u_keep[codes]
-            occ_mask = occ_u >= 0
-            docs_kept = doc_rep[occ_mask]
-            terms_kept = stems[occ_u[occ_mask]]
             # per-doc position = index in the SURVIVING term sequence
             # (flattened order is doc-major and in-doc order already)
             pos = (pd.Series(docs_kept).groupby(docs_kept, sort=False)
-                   .cumcount() if len(docs_kept) else
-                   pd.Series(dtype="int64"))
+                   .cumcount())
             yield pd.DataFrame({
-                doc_col: docs_kept.astype("int64"),
-                "term": pd.Series(terms_kept, dtype=object),
+                doc_col: docs_kept,
+                "term": pd.Series(t_uniq[tcodes], dtype=object),
                 "pos": pos.astype("int32"),
             })
 
     return df.select(doc_col, text_col).mapInPandas(
         gen, f"{doc_col} long, term string, pos int")
+
+
+def bigram_counts_pandas(df: DataFrame, text_col: str = "text",
+                         doc_col: str = "doc_id",
+                         stem: bool = True) -> DataFrame:
+    """Partition-local adjacent-term bigram counts ``(t1, t2, cnt)`` over
+    the post-analyzer term sequence — the positional-index statistic
+    computed WITHOUT materializing positions or self-joining them: each
+    input row is one document, so adjacency within the fused pass is a
+    shifted-array compare on the doc-id column, and the per-batch count is
+    an int64-code groupby. The caller finishes with a global
+    ``groupBy(t1, t2).sum`` whose input is O(bigram vocabulary) rows per
+    partition, not O(token occurrences) — map-side partial aggregation in
+    pandas, exactly the TF pass's trick one n-gram order up. A positional
+    self-join (seq a JOIN seq b ON a.doc=b.doc AND b.pos=a.pos+1, the
+    oracle's formulation) shuffles O(occurrences) twice; this shuffles the
+    tiny count table once."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        stem_tok = _make_stem_memo()
+
+        for pdf in batches:
+            docs_kept, tcodes, t_uniq = _batch_term_codes(
+                pdf, text_col, doc_col, stem, stem_tok)
+            adj = np.nonzero(docs_kept[1:] == docs_kept[:-1])[0] \
+                if len(docs_kept) > 1 else np.empty(0, dtype=np.int64)
+            if not len(adj):
+                yield pd.DataFrame({"t1": pd.Series(dtype=object),
+                                    "t2": pd.Series(dtype=object),
+                                    "cnt": np.empty(0, dtype=np.int64)})
+                continue
+            out = (pd.DataFrame({"_a": tcodes[adj], "_b": tcodes[adj + 1]})
+                   .groupby(["_a", "_b"], sort=False)
+                   .size().reset_index(name="cnt"))
+            yield pd.DataFrame({
+                "t1": pd.Series(t_uniq[out["_a"].to_numpy()], dtype=object),
+                "t2": pd.Series(t_uniq[out["_b"].to_numpy()], dtype=object),
+                "cnt": out["cnt"].astype("int64"),
+            })
+
+    return (df.select(doc_col, text_col)
+            .mapInPandas(gen, "t1 string, t2 string, cnt long")
+            .groupBy("t1", "t2")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
 
 
 def term_positions_df(df: DataFrame, text_col: str = "text",

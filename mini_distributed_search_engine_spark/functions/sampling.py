@@ -1,0 +1,39 @@
+"""Deterministic sampling primitives for corpus curation.
+
+A training-data funnel routinely downsamples over-represented strata
+(a crawl source, a language, a license bucket) to a target mix. Doing
+that with `df.sample()` is non-reproducible across runs and cluster
+layouts; the scale-correct primitive is a HASH GATE — keep a row iff a
+stable hash of its key falls under the stratum's rate. That is a pure
+narrow filter: no shuffle, no state, resumable, and the same rows
+survive on any cluster size or partitioning (the property the
+reference's seeded `sample(p)` lacks, flame/FlameRDD.java:70 — sampling
+there depends on RNG stream order per worker).
+
+The hash is the first 32 bits of md5 over the key rendered as a string,
+which both Spark and DuckDB can compute byte-identically — so the gate
+query is fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_gate(key: Column, pct: Column) -> Column:
+    """True iff hash32(key) % 100 < pct. Stable across runs/partitioning."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+    return (h.cast("long") % 100) < pct
+
+
+def stratified_sample(df: DataFrame, strat_col: str, rates: dict[str, int],
+                      default_pct: int, key_col: str) -> DataFrame:
+    """Keep each stratum at its percentage rate, deterministically by
+    ``key_col`` hash. ``rates`` maps stratum value -> pct (0..100); strata
+    absent from the map keep ``default_pct``. One narrow filter over the
+    scan — predicate-pushdown-friendly, zero shuffle at any scale."""
+    pct = F.lit(default_pct)
+    for value, p in sorted(rates.items()):
+        pct = F.when(F.col(strat_col) == value, p).otherwise(pct)
+    return df.where(hash_gate(F.col(key_col), pct))

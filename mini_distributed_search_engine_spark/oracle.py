@@ -367,6 +367,22 @@ def sql_term_positions(stem: bool = True) -> str:
     return _positions_ctes(stem) + "\nSELECT doc_id, term, pos FROM seq"
 
 
+def sql_text_bigrams(stem: bool = True, topn: int = 50) -> str:
+    """Top-N adjacent-term bigrams, formulated as the positional
+    self-join (seq a JOIN seq b ON same doc, pos+1) — deliberately a
+    DIFFERENT algorithm from the engine's fused shifted-array pass, so
+    the hash match checks the semantics, not the implementation."""
+    return _positions_ctes(stem) + f""",
+big AS (
+  SELECT a.term AS t1, b.term AS t2, CAST(count(*) AS BIGINT) AS cnt
+  FROM seq a JOIN seq b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT t1, t2, cnt, CAST(row_number() OVER (
+      ORDER BY cnt DESC, t1 ASC, t2 ASC) AS INT) AS rank FROM big)
+SELECT rank, t1, t2, cnt FROM ranked WHERE rank <= {topn}"""
+
+
 def sql_phrase_match(stem: bool = True,
                      queries: tuple = PHRASE_QUERY_SET) -> str:
     qrows = phrase_terms(queries, stem=stem)

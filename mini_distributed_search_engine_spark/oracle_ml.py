@@ -36,6 +36,18 @@ sh AS (SELECT DISTINCT doc_id, array_to_string(tk[i:i+{k - 1}], ' ') AS shingle
        FROM pos)"""
 
 
+def sql_stratified_sample(rates: dict[str, int] | None = None,
+                          default_pct: int = 50) -> str:
+    """Deterministic hash-gate stratified sample over documents — the
+    same 32-bit-md5 gate the engine computes, byte-identical in DuckDB."""
+    rates = {"src0": 10, "src1": 25} if rates is None else rates
+    case = " ".join(f"WHEN '{k}' THEN {p}" for k, p in sorted(rates.items()))
+    return f"""
+SELECT doc_id, source, lang FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+      CASE source {case} ELSE {default_pct} END"""
+
+
 def sql_dedup_exact() -> str:
     return """
 WITH keyed AS (SELECT doc_id, md5(text) AS h FROM documents),
