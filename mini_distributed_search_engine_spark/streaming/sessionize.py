@@ -39,6 +39,45 @@ OUT_SCHEMA = ("conv_id string, session_seq int, n_turns long, "
 STATE_SCHEMA = "session_seq int, n_turns long, t_start double, t_end double"
 
 
+def _fold(key, pdfs: Iterable, state, gap_seconds: float):
+    """The per-key fold — module-level so the timeout-eviction path is
+    unit-testable with a fake GroupState (tests/test_streaming_sessionize)."""
+    import pandas as pd
+    (conv_id,) = key
+    if state.hasTimedOut:
+        # conversation idle well past the gap: emit the final closed
+        # session one last time (an idempotent update for a sink keyed
+        # on (conv_id, session_seq)) and DROP the state, so long-running
+        # state scales with OPEN sessions, not total key cardinality.
+        seq, n, t0, t1 = state.get
+        state.remove()
+        yield pd.DataFrame([(conv_id, seq, n, t0, t1)],
+                           columns=["conv_id", "session_seq", "n_turns",
+                                    "t_start", "t_end"])
+        return
+    seq, n, t0, t1 = state.get if state.exists else (0, 0, 0.0, 0.0)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["tsec", "turn_idx"])
+    out = []
+    for ts in rows["tsec"].to_numpy():
+        ts = float(ts)
+        if seq == 0:
+            seq, n, t0, t1 = 1, 1, ts, ts
+        elif ts - t1 > gap_seconds:
+            out.append((conv_id, seq, n, t0, t1))   # close previous
+            seq, n, t0, t1 = seq + 1, 1, ts, ts
+        else:
+            n += 1
+            t1 = ts
+    out.append((conv_id, seq, n, t0, t1))           # open-session snapshot
+    state.update((int(seq), int(n), float(t0), float(t1)))
+    # evict state for conversations idle 2x the session gap (processing
+    # time: by then the gap rule guarantees the session is closed)
+    state.setTimeoutDuration(int(gap_seconds * 2 * 1000))
+    yield pd.DataFrame(out, columns=["conv_id", "session_seq",
+                                     "n_turns", "t_start", "t_end"])
+
+
 def sessionize_stream(turns: DataFrame,
                       gap_seconds: float = GAP_SECONDS) -> DataFrame:
     """Streaming (conv_id, session_seq, n_turns, t_start, t_end) rows from
@@ -47,40 +86,7 @@ def sessionize_stream(turns: DataFrame,
     sessionizer)."""
 
     def fold(key, pdfs: Iterable, state: GroupState):
-        import pandas as pd
-        (conv_id,) = key
-        if state.hasTimedOut:
-            # conversation idle well past the gap: emit the final closed
-            # session one last time (an idempotent update for a sink keyed
-            # on (conv_id, session_seq)) and DROP the state, so long-running
-            # state scales with OPEN sessions, not total key cardinality.
-            seq, n, t0, t1 = state.get
-            state.remove()
-            yield pd.DataFrame([(conv_id, seq, n, t0, t1)],
-                               columns=["conv_id", "session_seq", "n_turns",
-                                        "t_start", "t_end"])
-            return
-        seq, n, t0, t1 = state.get if state.exists else (0, 0, 0.0, 0.0)
-        rows = pd.concat(list(pdfs), ignore_index=True)
-        rows = rows.sort_values(["tsec", "turn_idx"])
-        out = []
-        for ts in rows["tsec"].to_numpy():
-            ts = float(ts)
-            if seq == 0:
-                seq, n, t0, t1 = 1, 1, ts, ts
-            elif ts - t1 > gap_seconds:
-                out.append((conv_id, seq, n, t0, t1))   # close previous
-                seq, n, t0, t1 = seq + 1, 1, ts, ts
-            else:
-                n += 1
-                t1 = ts
-        out.append((conv_id, seq, n, t0, t1))           # open-session snapshot
-        state.update((int(seq), int(n), float(t0), float(t1)))
-        # evict state for conversations idle 2x the session gap (processing
-        # time: by then the gap rule guarantees the session is closed)
-        state.setTimeoutDuration(int(gap_seconds * 2 * 1000))
-        yield pd.DataFrame(out, columns=["conv_id", "session_seq",
-                                         "n_turns", "t_start", "t_end"])
+        yield from _fold(key, pdfs, state, gap_seconds)
 
     # drop null event times JVM-side: a null would reach pandas as NaN,
     # where every gap comparison is False — the row would silently glue

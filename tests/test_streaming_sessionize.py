@@ -70,3 +70,57 @@ def test_streaming_sessionize_parity(spark, roots):
     # batch 1 must have emitted the then-open snapshots (update semantics)
     b1 = {(c, s): (n, t0, t1) for bid, c, s, n, t0, t1 in emitted if bid == 0}
     assert b1 == {("a", 1): (2, 0.0, 60.0), ("b", 1): (2, 10.0, 20.0)}
+
+
+class _FakeState:
+    """Minimal GroupState stand-in driving _fold's two entry modes."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        if self._v is None:
+            raise ValueError("state empty")
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v, self.removed = None, True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_fold_timeout_emits_final_session_and_drops_state():
+    import pandas as pd
+    from mini_distributed_search_engine_spark.streaming.sessionize import (
+        _fold)
+    st = _FakeState(value=(2, 5, 100.0, 900.0), timed_out=True)
+    out = pd.concat(_fold(("conv9",), iter([]), st, GAP), ignore_index=True)
+    # the closed session is re-emitted once (idempotent for an
+    # update-keyed sink), then the key's state is gone
+    assert out.values.tolist() == [["conv9", 2, 5, 100.0, 900.0]]
+    assert st.removed and not st.exists
+
+
+def test_fold_normal_batch_arms_eviction_timer():
+    import pandas as pd
+    from mini_distributed_search_engine_spark.streaming.sessionize import (
+        _fold)
+    st = _FakeState()
+    pdf = pd.DataFrame({"conv_id": ["x"] * 2, "turn_idx": [0, 1],
+                        "tsec": [0.0, 10.0]})
+    list(_fold(("x",), iter([pdf]), st, GAP))
+    assert st.get == (1, 2, 0.0, 10.0)
+    # idle eviction armed at 2x the gap -> state is O(open sessions)
+    assert st.timeout_ms == int(GAP * 2 * 1000)
