@@ -214,6 +214,16 @@ def _docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "doc_id").select("doc_id", "source", "lang")
 
 
+def _docs_sample_topk_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-BUDGET companion to the rate gate: exactly 5 docs per source,
+    chosen by deterministic hash rank (WindowGroupLimit keeps per-partition
+    top-k heaps instead of sorting whole strata)."""
+    from mini_distributed_search_engine_spark.functions.sampling import (
+        topk_per_stratum)
+    return topk_per_stratum(_docs(spark, sf_dir), "source", 5,
+                            "doc_id").select("doc_id", "source", "lang")
+
+
 def _term_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocomplete surface (Searcher.java:319-337 '/words' + client prefix
     filter): terms by document frequency under a prefix."""
@@ -413,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # NEW round 3: collocation stats + deterministic curation sampling
         "text_bigrams": _text_bigrams,
         "docs_sample_stratified": _docs_sample_stratified,
+        "docs_sample_topk_stratum": _docs_sample_topk_stratum,
         # --- part 2: green in r1 only (rotated out of the r2 window) ---
         "analytics_pricing_summary": A["analytics_pricing_summary"],
         "analytics_top_unshipped": A["analytics_top_unshipped"],
@@ -436,7 +447,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_wand": _bm25_wand,
         "bm25_topk_and_wand": _bm25_and_wand,
         "bm25_topk_hydrated": _bm25_hydrated,
-        "tfidf_rerank_topk": _tfidf_rerank,
         "term_positions": _positions,
         "phrase_match": _phrase,
         "packed_roundtrip": _packed_roundtrip,
@@ -464,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_and": _bm25_and,
         "tfidf_blend_topk": _tfidf_blend,
         "term_suggestions": _term_suggestions,
+        "tfidf_rerank_topk": _tfidf_rerank,
         "bm25_topk_nostem": _bm25(stem=False),
         "flame_groupby_salted": _groupby_salted,
         # Flame operator analogues (SURVEY.md §2.1)
@@ -543,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_embed": OM.sql_embed_media(),
         "text_bigrams": O.sql_text_bigrams(stem=True),
         "docs_sample_stratified": OM.sql_stratified_sample(),
+        "docs_sample_topk_stratum": OM.sql_topk_per_stratum(),
         "analytics_pricing_summary": AO["analytics_pricing_summary"],
         "analytics_top_unshipped": AO["analytics_top_unshipped"],
         "analytics_forecast_revenue": AO["analytics_forecast_revenue"],

@@ -37,3 +37,20 @@ def stratified_sample(df: DataFrame, strat_col: str, rates: dict[str, int],
     for value, p in sorted(rates.items()):
         pct = F.when(F.col(strat_col) == value, p).otherwise(pct)
     return df.where(hash_gate(F.col(key_col), pct))
+
+
+def topk_per_stratum(df: DataFrame, strat_col: str, k: int,
+                     key_col: str) -> DataFrame:
+    """EXACT-k deterministic sample per stratum: rank rows inside each
+    stratum by (hash32(key), key) and keep the first k — the fixed-BUDGET
+    companion to the rate-based gate above (the hash makes the choice
+    uniform and reproducible, the key tiebreak makes it total). One
+    shuffle on the stratum key; rank<=k lets Spark's WindowGroupLimit
+    push the limit below the sort, so each partition keeps a bounded
+    top-k heap rather than sorting whole strata."""
+    from pyspark.sql import Window
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("long")
+    w = Window.partitionBy(strat_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= k).drop("_rk"))

@@ -48,6 +48,17 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
       CASE source {case} ELSE {default_pct} END"""
 
 
+def sql_topk_per_stratum(k: int = 5) -> str:
+    """Exact-k deterministic per-stratum sample — same hash rank."""
+    return f"""
+WITH h AS (SELECT doc_id, source, lang,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+       FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY hv ASC, doc_id ASC) AS rk FROM h)
+SELECT doc_id, source, lang FROM r WHERE rk <= {k}"""
+
+
 def sql_dedup_exact() -> str:
     return """
 WITH keyed AS (SELECT doc_id, md5(text) AS h FROM documents),

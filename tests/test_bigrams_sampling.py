@@ -57,3 +57,23 @@ def test_stratified_sample_deterministic_across_partitioning(spark):
     assert 25 <= by_src["src0"] <= 80      # ~10% of 500
     assert 85 <= by_src["src1"] <= 170     # ~25% of 500
     assert 200 <= by_src["src2"] <= 300    # ~50% of 500
+
+
+def test_topk_per_stratum_exact_budget_and_deterministic(spark):
+    from mini_distributed_search_engine_spark.functions.sampling import (
+        topk_per_stratum)
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 3).cast("string"))
+        .alias("source"))
+    one = {(r["source"], r["doc_id"]) for r in topk_per_stratum(
+        docs.coalesce(1), "source", 7, "doc_id").collect()}
+    many = {(r["source"], r["doc_id"]) for r in topk_per_stratum(
+        docs.repartition(16), "source", 7, "doc_id").collect()}
+    assert one == many                       # layout-independent choice
+    for s in ("src0", "src1", "src2"):
+        assert sum(1 for src, _ in one if src == s) == 7   # exact budget
+    # the WindowGroupLimit rewrite keeps per-partition heaps, not sorts
+    plan = (topk_per_stratum(docs, "source", 7, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "WindowGroupLimit" in plan
