@@ -197,10 +197,15 @@ def _text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     docs = with_stable_doc_ids(transcripts_from_documents(spark, sf_dir))
     big = bigram_counts_pandas(docs, "text", stem=True)
+    # orderBy().limit() compiles to a parallel TakeOrdered over the full
+    # bigram vocabulary; only the surviving 50 rows see the (then-trivial)
+    # global row_number window — never a single-task whole-vocab sort
+    top = big.orderBy(F.col("cnt").desc(), F.col("t1").asc(),
+                      F.col("t2").asc()).limit(50)
     w = Window.orderBy(F.col("cnt").desc(), F.col("t1").asc(),
                        F.col("t2").asc())
-    return (big.withColumn("rank", F.row_number().over(w).cast("int"))
-            .where(F.col("rank") <= 50).select("rank", "t1", "t2", "cnt"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "t1", "t2", "cnt"))
 
 
 def _docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,14 +467,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_ann_topk": lambda s, d: S.ivf_ann_topk(_emb(s, d)),
         # NEW round 3: partition-pruned at-rest IVF layout, same rank oracle
         "embed_ivf_partitioned_topk": _ivf_partitioned_topk,
+        # === end of the 50-entry driver window (entry #50 is the line
+        # above — verify with: list(queries())[:50]) ===
+        # everything below is driver-green in r1 and/or r2 (selfcheck still
+        # covers them every round via tools/selfcheck.py)
         # iterative Lloyd loop, oracle = the same loop unrolled as SQL CTEs
         "embed_kmeans_centroids": lambda s, d: (
             S.kmeans_fit(_emb(s, d))
             .select(F.col("centroid_id").cast("int").alias("centroid_id"),
                     F.posexplode("c_emb").alias("dim", "value"))),
-        # === end of the 50-entry driver window ===
-        # everything below is driver-green in BOTH r1 and r2 (selfcheck still
-        # covers them every round via tools/selfcheck.py)
         "term_doc_tf_nostem": _q_term_doc_tf(stem=False),
         "bm25_topk_and": _bm25_and,
         "tfidf_blend_topk": _tfidf_blend,

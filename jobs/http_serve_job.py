@@ -43,7 +43,7 @@ def _row_json(r) -> dict:
              "role", "snippet") if k in d}
 
 
-def make_handler(engine: SearchEngine, lats: list[float]):
+def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):        # quiet: latency is logged by us
             pass
@@ -70,16 +70,20 @@ def make_handler(engine: SearchEngine, lats: list[float]):
                         return self._json(400, {"err": "mode must be or|and"})
                     rows = engine.search(q["q"], k=k, mode=mode,
                                          role=q.get("role"))
-                    lats.append(time.perf_counter() - t0)
+                    # local elapsed, THEN append: concurrent handler threads
+                    # share `lats`, so lats[-1] could be another request's
+                    took = time.perf_counter() - t0
+                    lats.append(took)
                     return self._json(200, {"rows": [_row_json(r) for r in rows],
-                                            "took_sec": round(lats[-1], 4)})
+                                            "took_sec": round(took, 4)})
                 if u.path == "/phrase":
                     if "q" not in q:
                         return self._json(400, {"err": "q parameter required"})
                     rows = engine.search_phrase(q["q"], k=int(q.get("k", "10")))
-                    lats.append(time.perf_counter() - t0)
+                    took = time.perf_counter() - t0
+                    lats.append(took)
                     return self._json(200, {"rows": [_row_json(r) for r in rows],
-                                            "took_sec": round(lats[-1], 4)})
+                                            "took_sec": round(took, 4)})
                 if u.path == "/words":
                     terms = engine.suggest(q.get("prefix", ""),
                                            n=int(q.get("n", "10")))
@@ -87,10 +91,11 @@ def make_handler(engine: SearchEngine, lats: list[float]):
                     return self._json(200, {"terms": terms})
                 if u.path == "/stats":
                     n, avgdl = engine._corpus_stats
-                    p50 = sorted(lats)[len(lats) // 2] if lats else 0.0
+                    window = sorted(lats)   # snapshot; p50 of last <=10k
+                    p50 = window[len(window) // 2] if window else 0.0
                     return self._json(200, {
                         "n_docs": n, "avgdl": round(avgdl, 3),
-                        "served": len(lats), "p50_sec": round(p50, 4)})
+                        "served": len(window), "p50_sec": round(p50, 4)})
                 return self._json(404, {"err": f"no route {u.path}"})
             except ValueError as e:       # bad k/n etc.
                 return self._json(400, {"err": str(e)})
@@ -103,7 +108,10 @@ def make_handler(engine: SearchEngine, lats: list[float]):
 def serve_http(engine: SearchEngine, port: int = 0) -> ThreadingHTTPServer:
     """Bind (port=0 -> ephemeral, for tests) and return the server; the
     caller owns serve_forever()/shutdown()."""
-    lats: list[float] = []
+    from collections import deque
+    # bounded latency window: /stats p50 over the last 10k requests, and a
+    # long-running server does not grow memory per request served
+    lats: deque[float] = deque(maxlen=10_000)
     return ThreadingHTTPServer(("127.0.0.1", port),
                                make_handler(engine, lats))
 

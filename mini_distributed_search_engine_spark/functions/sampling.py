@@ -21,10 +21,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def hash32(key: Column) -> Column:
+    """First 32 md5 bits of the stringified key as a long — THE hash every
+    sampling primitive (and every oracle SQL mirroring one) must use;
+    DuckDB twin: ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8),
+                  16, 10).cast("long")
+
+
 def hash_gate(key: Column, pct: Column) -> Column:
     """True iff hash32(key) % 100 < pct. Stable across runs/partitioning."""
-    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
-    return (h.cast("long") % 100) < pct
+    return (hash32(key) % 100) < pct
 
 
 def stratified_sample(df: DataFrame, strat_col: str, rates: dict[str, int],
@@ -49,8 +56,7 @@ def topk_per_stratum(df: DataFrame, strat_col: str, k: int,
     push the limit below the sort, so each partition keeps a bounded
     top-k heap rather than sorting whole strata."""
     from pyspark.sql import Window
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
-               16, 10).cast("long")
-    w = Window.partitionBy(strat_col).orderBy(h.asc(), F.col(key_col).asc())
+    w = Window.partitionBy(strat_col).orderBy(hash32(F.col(key_col)).asc(),
+                                              F.col(key_col).asc())
     return (df.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= k).drop("_rk"))

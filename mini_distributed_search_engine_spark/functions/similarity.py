@@ -141,21 +141,66 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 
-def _centroid_scores(embeddings: DataFrame, n_centroids: int,
-                     centroids: DataFrame | None = None) -> DataFrame:
-    """(vec_id, embedding, centroid_id, ccos): cosine of every vector vs
-    every centroid. Default centroids are the first n_centroids vec_ids
-    (IVF-flat with deterministic sampled centroids — sampling keeps the
-    DuckDB oracle able to reproduce the assignment exactly); pass a
-    (centroid_id, c_emb) frame (e.g. `kmeans_fit`) for learned ones.
-    Broadcast nested-loop join: narrow, no shuffle."""
-    cents = centroids if centroids is not None else (
+def _resolve_centroids(embeddings: DataFrame, n_centroids: int,
+                       centroids: DataFrame | None) -> DataFrame:
+    """The ONE place the default centroid frame is derived: the first
+    n_centroids vec_ids of the FULL corpus (deterministic sampled
+    centroids — sampling keeps the DuckDB oracle able to reproduce the
+    assignment exactly). Callers that pre-filter `embeddings` must resolve
+    centroids from the unfiltered frame first, or the centroid set would
+    silently change."""
+    return centroids if centroids is not None else (
         embeddings.where(F.col("vec_id") < n_centroids)
         .select(F.col("vec_id").alias("centroid_id"),
                 F.col("embedding").alias("c_emb")))
+
+
+def _centroid_scores(embeddings: DataFrame, n_centroids: int,
+                     centroids: DataFrame | None = None) -> DataFrame:
+    """(vec_id, embedding, centroid_id, ccos): cosine of every vector vs
+    every centroid; pass a (centroid_id, c_emb) frame (e.g. `kmeans_fit`)
+    for learned ones. Broadcast nested-loop join: narrow, no shuffle."""
+    cents = _resolve_centroids(embeddings, n_centroids, centroids)
     return embeddings.crossJoin(F.broadcast(cents)).select(
         "vec_id", "embedding", "centroid_id",
         F.round(_cos(F.col("embedding"), F.col("c_emb")), 6).alias("ccos"))
+
+
+def _probe_lists(embeddings: DataFrame, query_ids: tuple[int, ...],
+                 n_centroids: int, n_probe: int,
+                 cents: DataFrame) -> DataFrame:
+    """(query_vec_id, q_emb, centroid_id): each query vector's n_probe
+    nearest centroids — scoring runs only over the (tiny) query set, and
+    the tie-break (ccos desc, centroid_id asc) is defined HERE once for
+    both the in-memory and partitioned top-k paths."""
+    from pyspark.sql import Window
+    return (_centroid_scores(
+                embeddings.where(F.col("vec_id").isin(list(query_ids))),
+                n_centroids, cents)
+            .withColumn("rn", F.row_number().over(
+                Window.partitionBy("vec_id")
+                .orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())))
+            .where(F.col("rn") <= n_probe)
+            .select(F.col("vec_id").alias("query_vec_id"),
+                    F.col("embedding").alias("q_emb"), "centroid_id"))
+
+
+def _rank_probed_candidates(corpus: DataFrame, probe: DataFrame,
+                            k: int) -> DataFrame:
+    """Join corpus rows to broadcast probe lists on centroid_id, score
+    exact cosine, keep each query's top-k (cos desc, vec_id asc) — the
+    shared tail of both IVF top-k physical plans."""
+    from pyspark.sql import Window
+    cands = (corpus.join(F.broadcast(probe), "centroid_id")
+             .where(F.col("vec_id") != F.col("query_vec_id")))
+    scored = cands.select(
+        "query_vec_id", "vec_id",
+        F.round(_cos(F.col("embedding"), F.col("q_emb")), 6).alias("cos"))
+    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos").desc(),
+                                                   F.col("vec_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_vec_id", "rank", "vec_id", "cos"))
 
 
 def kmeans_fit(embeddings: DataFrame, k: int = N_CENTROIDS,
@@ -244,38 +289,14 @@ def ivf_ann_topk(embeddings: DataFrame,
     ~n_probe/n_centroids of the corpus instead of all of it. Output:
     (query_vec_id, rank, vec_id, cos); recall vs brute force is
     pytest-bounded, exactness traded like every ANN method."""
-    from pyspark.sql import Window
-    # resolve centroids ONCE so the probe side can pre-filter to the query
-    # vectors: with centroids=None the default frame is derived from the
-    # input (vec_id < n_centroids), and deriving it from a query-filtered
-    # frame would silently change the centroid set. Probe-side scoring is
-    # then O(|query_ids| x n_centroids) instead of a second full N x C pass.
-    cents = centroids if centroids is not None else (
-        embeddings.where(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"),
-                F.col("embedding").alias("c_emb")))
+    # resolve centroids ONCE from the unfiltered corpus, then probe-side
+    # scoring is O(|query_ids| x n_centroids), not a second full N x C pass.
+    # One centroid per vector + distinct probed centroids per query =>
+    # (query_vec_id, vec_id) pairs are unique by construction, no dedup.
+    cents = _resolve_centroids(embeddings, n_centroids, centroids)
     assigned = ivf_assign(embeddings, n_centroids, cents)
-    probe = (_centroid_scores(
-                 embeddings.where(F.col("vec_id").isin(list(query_ids))),
-                 n_centroids, cents)
-             .withColumn("rn", F.row_number().over(
-                 Window.partitionBy("vec_id")
-                 .orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())))
-             .where(F.col("rn") <= n_probe)
-             .select(F.col("vec_id").alias("query_vec_id"),
-                     F.col("embedding").alias("q_emb"), "centroid_id"))
-    # one centroid per vector + distinct probed centroids per query =>
-    # (query_vec_id, vec_id) pairs are unique by construction, no dedup
-    cands = (assigned.join(F.broadcast(probe), "centroid_id")
-             .where(F.col("vec_id") != F.col("query_vec_id")))
-    scored = cands.select(
-        "query_vec_id", "vec_id",
-        F.round(_cos(F.col("embedding"), F.col("q_emb")), 6).alias("cos"))
-    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos").desc(),
-                                                   F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_vec_id", "rank", "vec_id", "cos"))
+    probe = _probe_lists(embeddings, query_ids, n_centroids, n_probe, cents)
+    return _rank_probed_candidates(assigned, probe, k)
 
 
 def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
@@ -300,34 +321,13 @@ def ivf_partitioned_topk(spark, path: str, embeddings: DataFrame,
     corpus scan carries `centroid_id IN (...)` so Catalyst prunes unprobed
     partition directories before any file is opened. Rank/tie-break
     semantics identical to `ivf_ann_topk` on the same assignment."""
-    from pyspark.sql import Window
-    cents = centroids if centroids is not None else (
-        embeddings.where(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("centroid_id"),
-                F.col("embedding").alias("c_emb")))
-    probe = (_centroid_scores(
-                 embeddings.where(F.col("vec_id").isin(list(query_ids))),
-                 n_centroids, cents)
-             .withColumn("rn", F.row_number().over(
-                 Window.partitionBy("vec_id")
-                 .orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())))
-             .where(F.col("rn") <= n_probe)
-             .select(F.col("vec_id").alias("query_vec_id"),
-                     F.col("embedding").alias("q_emb"), "centroid_id"))
+    cents = _resolve_centroids(embeddings, n_centroids, centroids)
+    probe = _probe_lists(embeddings, query_ids, n_centroids, n_probe, cents)
     probed = sorted({int(r["centroid_id"])
                      for r in probe.select("centroid_id").distinct().collect()})
     corpus = (spark.read.parquet(path)
               .where(F.col("centroid_id").isin(probed)))
-    cands = (corpus.join(F.broadcast(probe), "centroid_id")
-             .where(F.col("vec_id") != F.col("query_vec_id")))
-    scored = cands.select(
-        "query_vec_id", "vec_id",
-        F.round(_cos(F.col("embedding"), F.col("q_emb")), 6).alias("cos"))
-    w = Window.partitionBy("query_vec_id").orderBy(F.col("cos").desc(),
-                                                   F.col("vec_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_vec_id", "rank", "vec_id", "cos"))
+    return _rank_probed_candidates(corpus, probe, k)
 
 
 def embedding_near_dup_pairs(embeddings: DataFrame,

@@ -164,9 +164,11 @@ def mappartitions_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 14/16/17/23. collect / saveAsTable / destroy (FlameRDD.java:43,56,78 and the
 #     pair-RDD twins) as one driver-checkable lifecycle query: persist the
 #     aggregate (the reference materializes every op into a KVS table), save
-#     it to parquet, read the saved table back, and unpersist the source.
-#     The returned frame scans the SAVED copy, so the oracle checks the whole
-#     write→read lifecycle, not just the aggregate.
+#     it to parquet, read the saved table back and collect it (the read-back
+#     executes against the SAVED copy; the returned frame is a localized
+#     snapshot of those rows so the scratch dir can be removed), and
+#     unpersist the source. The oracle checks the whole write→read
+#     lifecycle result, not just the aggregate.
 def save_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
@@ -180,11 +182,8 @@ def save_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="mdse_flame_save_roundtrip_")
     try:
         out.write.mode("overwrite").parquet(path)   # saveAsTable
-        out.unpersist()                             # destroy
         saved = spark.read.parquet(path)
-        # localize the 6-row read-back so the scratch dir can be removed
-        # before return (the lifecycle under test — write, read back — has
-        # already executed against the saved copy)
         return spark.createDataFrame(saved.collect(), saved.schema)
     finally:
+        out.unpersist()                             # destroy (even on error)
         shutil.rmtree(path, ignore_errors=True)

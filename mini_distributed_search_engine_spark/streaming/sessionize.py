@@ -13,8 +13,16 @@ query, so the operator resumes exactly like the rest of the pipeline.
 Emission contract (output mode "update"): every session TOUCHED by a
 micro-batch is emitted with its aggregates as of that batch; a later batch
 that extends a still-open session re-emits it. Downstream consumers keep
-the latest row per (conv_id, session_seq) — the parity test folds the
-emissions exactly that way and matches the batch window-function result.
+the latest row per ``(conv_id, t_start)`` — the session's DURABLE key.
+``session_seq`` numbers sessions only within one state lifetime: after
+the idle-eviction timeout drops a conversation's state, a resumed
+conversation restarts numbering at 1 (the eviction that bounds state to
+open sessions necessarily forgets the counter), so ``(conv_id,
+session_seq)`` pairs can recur across evictions while ``t_start`` — a
+strictly increasing event time under the ordering discipline below —
+cannot. The parity test keys on (conv_id, session_seq) deliberately: it
+runs without evictions, where the two keys coincide and the batch
+window-function result must match.
 
 Ordering discipline: turns must arrive in non-decreasing event time per
 conversation across batches (the same append-only discipline the
@@ -47,8 +55,10 @@ def _fold(key, pdfs: Iterable, state, gap_seconds: float):
     if state.hasTimedOut:
         # conversation idle well past the gap: emit the final closed
         # session one last time (an idempotent update for a sink keyed
-        # on (conv_id, session_seq)) and DROP the state, so long-running
+        # on (conv_id, t_start)) and DROP the state, so long-running
         # state scales with OPEN sessions, not total key cardinality.
+        # session_seq dies with the state — see module docstring for why
+        # t_start, not seq, is the durable session identity.
         seq, n, t0, t1 = state.get
         state.remove()
         yield pd.DataFrame([(conv_id, seq, n, t0, t1)],
