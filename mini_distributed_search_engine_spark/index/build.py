@@ -191,6 +191,40 @@ def build_index(transcripts: DataFrame, stem: bool = True,
                        doc_stats=doc_stats, postings=postings, tf_root=root)
 
 
+def write_index_bucketed(idx: IndexTables, table_prefix: str, path: str,
+                         buckets: int = 32) -> tuple[str, str]:
+    """Materialize term_doc_tf and term_stats as TERM-BUCKETED catalog
+    tables (external, rooted at ``path``) and return their names.
+
+    Bucketing is the cluster-scale co-location contract the plain parquet
+    layout can't express: both tables hash-partitioned into the same
+    ``buckets`` on ``term`` AT WRITE TIME, so every subsequent
+    term-equality join between them (the IDF-attach join in scoring, df
+    lookups, posting-vs-stats audits) runs with ZERO shuffle on either
+    side — the exchange that normally moves O(postings) rows disappears
+    from the plan (pytest asserts it). On a 1000-executor cluster this is
+    the difference between a per-query full-index shuffle and a purely
+    local join; bucket count plays the role of the fixed reducer
+    partitioning the reference's range-partitioned KVS gave for free.
+    ``sortBy(term)`` inside buckets keeps row-group term ranges tight, so
+    the literal IN-list row-group pruning of the query path still applies.
+    """
+    spark = idx.term_doc_tf.sparkSession
+    tf_tbl = f"{table_prefix}_term_doc_tf"
+    ts_tbl = f"{table_prefix}_term_stats"
+    for name in (tf_tbl, ts_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (idx.term_doc_tf.write.mode("overwrite")
+     .option("path", f"{path}/{tf_tbl}")
+     .bucketBy(buckets, "term").sortBy("term", "doc_id")
+     .saveAsTable(tf_tbl))
+    (idx.term_stats.write.mode("overwrite")
+     .option("path", f"{path}/{ts_tbl}")
+     .bucketBy(buckets, "term").sortBy("term")
+     .saveAsTable(ts_tbl))
+    return tf_tbl, ts_tbl
+
+
 def write_index(idx: IndexTables, path: str,
                 term_partitions: int | None = None) -> None:
     """Materialize the index term-range-clustered.
