@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--positions", action="store_true",
                     help="also build the positional index stage (phrase search)")
+    ap.add_argument("--bucketed", type=int, default=0, metavar="BUCKETS",
+                    help="additionally register term_doc_tf/term_stats as "
+                         "term-bucketed catalog tables under OUT/bucketed "
+                         "(zero-shuffle term joins downstream)")
     args = ap.parse_args()
 
     spark = get_spark("mdse-build")
@@ -48,6 +52,14 @@ def main() -> None:
                       positions=args.positions)
     for stage, st in status.items():
         print(f"{stage}: {st}")
+    if args.bucketed:
+        from mini_distributed_search_engine_spark.index.build import (
+            build_index, write_index_bucketed)
+        idx = build_index(tr)
+        tf_tbl, ts_tbl = write_index_bucketed(
+            idx, "mdse", f"{args.out}/bucketed", buckets=args.bucketed)
+        idx.unpersist()
+        print(f"bucketed: {tf_tbl}, {ts_tbl} ({args.bucketed} buckets)")
 
 
 if __name__ == "__main__":
