@@ -70,3 +70,38 @@ def test_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(5)], "a long, b long")
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(nodes, edges, max_iters=1)
+
+
+def _union_find_labels(n, edges):
+    """Ground truth: min node id per component via plain union-find."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n)}
+
+
+@pytest.mark.parametrize("seed,n,m", [(1, 40, 25), (2, 60, 60), (3, 30, 90)])
+def test_random_graphs_star_and_propagation_match_union_find(spark, seed,
+                                                             n, m):
+    import random
+    rng = random.Random(seed)
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    want = _union_find_labels(n, edges)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    prop = {r["node"]: r["component"]
+            for r in connected_components(nodes, edf, max_iters=64).collect()}
+    star = {r["node"]: r["component"]
+            for r in connected_components_star(nodes, edf,
+                                               max_iters=25).collect()}
+    assert prop == want
+    assert star == want

@@ -140,3 +140,53 @@ def test_fused_pandas_tf_tolerates_null_text():
     assert dl[0] == 0 and dl[2] == 0 and dl[3] == 0 and dl[1] == 2
     terms = out[out.term.notna()]
     assert set(terms.doc_id) == {1}
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=10), max_size=400))
+def test_block_byte_ends_fast_path_matches_general(lengths):
+    # the <=BLOCK single-block fast path must byte-match the cumsum form
+    # for every size, including the 127/128/129 boundary
+    from mini_distributed_search_engine_spark.index.codec import (
+        BLOCK, _block_byte_ends)
+    L = np.asarray(lengths, dtype=np.int64)
+    got = _block_byte_ends(L)
+    if not len(L):
+        assert got == b""
+        return
+    ends = np.cumsum(L)
+    nb = (len(L) + BLOCK - 1) // BLOCK
+    idx = np.minimum(np.arange(1, nb + 1) * BLOCK - 1, len(L) - 1)
+    assert got == ends[idx].astype("<i8").tobytes()
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20))
+def test_batch_term_codes_matches_analyze(texts):
+    # the shared factorize core of the fused passes == the plain-Python
+    # analyzer spec, doc by doc, in order (positions AND bigrams depend
+    # on the order, not just the multiset)
+    import pandas as pd
+    from mini_distributed_search_engine_spark.functions.analyzer import (
+        _batch_term_codes, _make_stem_memo)
+    pdf = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                        "text": texts})
+    docs, tcodes, t_uniq = _batch_term_codes(
+        pdf, "text", "doc_id", True, _make_stem_memo())
+    got: dict[int, list[str]] = {}
+    for d, tc in zip(docs.tolist(), tcodes.tolist()):
+        got.setdefault(d, []).append(t_uniq[tc])
+    want = {i: analyze(t, stem=True) for i, t in enumerate(texts)}
+    want = {i: terms for i, terms in want.items() if terms}
+    assert got == want
+    # derived bigram adjacency matches the zip-spec per doc
+    big_got: dict[tuple, int] = {}
+    mask = docs[1:] == docs[:-1] if len(docs) > 1 else np.empty(0, bool)
+    for i in np.nonzero(mask)[0]:
+        key = (t_uniq[tcodes[i]], t_uniq[tcodes[i + 1]])
+        big_got[key] = big_got.get(key, 0) + 1
+    big_want: dict[tuple, int] = {}
+    for terms in want.values():
+        for a, b in zip(terms, terms[1:]):
+            big_want[(a, b)] = big_want.get((a, b), 0) + 1
+    assert big_got == big_want
