@@ -53,12 +53,13 @@ def main() -> None:
     for stage, st in status.items():
         print(f"{stage}: {st}")
     if args.bucketed:
+        # re-register the staged pipeline's ALREADY-materialized tables
+        # bucketed — no recomputation, just a bucketed rewrite
         from mini_distributed_search_engine_spark.index.build import (
-            build_index, write_index_bucketed)
-        idx = build_index(tr)
+            write_index_bucketed)
         tf_tbl, ts_tbl = write_index_bucketed(
-            idx, "mdse", f"{args.out}/bucketed", buckets=args.bucketed)
-        idx.unpersist()
+            pipe.read("term_doc_tf", "data"), pipe.read("stats", "term_stats"),
+            "mdse", f"{args.out}/bucketed", buckets=args.bucketed)
         print(f"bucketed: {tf_tbl}, {ts_tbl} ({args.bucketed} buckets)")
 
 

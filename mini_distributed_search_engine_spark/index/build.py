@@ -191,10 +191,13 @@ def build_index(transcripts: DataFrame, stem: bool = True,
                        doc_stats=doc_stats, postings=postings, tf_root=root)
 
 
-def write_index_bucketed(idx: IndexTables, table_prefix: str, path: str,
+def write_index_bucketed(term_doc_tf: DataFrame, term_stats: DataFrame,
+                         table_prefix: str, path: str,
                          buckets: int = 32) -> tuple[str, str]:
     """Materialize term_doc_tf and term_stats as TERM-BUCKETED catalog
-    tables (external, rooted at ``path``) and return their names.
+    tables (external, rooted at ``path``) and return their names. Takes
+    the two frames directly so an already-materialized staged build can
+    be re-registered without recomputing anything.
 
     Bucketing is the cluster-scale co-location contract the plain parquet
     layout can't express: both tables hash-partitioned into the same
@@ -209,16 +212,16 @@ def write_index_bucketed(idx: IndexTables, table_prefix: str, path: str,
     ``sortBy(term)`` inside buckets keeps row-group term ranges tight, so
     the literal IN-list row-group pruning of the query path still applies.
     """
-    spark = idx.term_doc_tf.sparkSession
+    spark = term_doc_tf.sparkSession
     tf_tbl = f"{table_prefix}_term_doc_tf"
     ts_tbl = f"{table_prefix}_term_stats"
     for name in (tf_tbl, ts_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (idx.term_doc_tf.write.mode("overwrite")
+    (term_doc_tf.write.mode("overwrite")
      .option("path", f"{path}/{tf_tbl}")
      .bucketBy(buckets, "term").sortBy("term", "doc_id")
      .saveAsTable(tf_tbl))
-    (idx.term_stats.write.mode("overwrite")
+    (term_stats.write.mode("overwrite")
      .option("path", f"{path}/{ts_tbl}")
      .bucketBy(buckets, "term").sortBy("term")
      .saveAsTable(ts_tbl))

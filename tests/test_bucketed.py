@@ -15,7 +15,8 @@ from mini_distributed_search_engine_spark.sources.transcripts import (
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     idx = build_index(synthesize_transcripts(spark, 200), stem=True)
     tf_tbl, ts_tbl = write_index_bucketed(
-        idx, "t_bucketed", str(tmp_path), buckets=8)
+        idx.term_doc_tf, idx.term_stats, "t_bucketed", str(tmp_path),
+        buckets=8)
     try:
         tf = spark.table(tf_tbl)
         ts = spark.table(ts_tbl)
