@@ -34,9 +34,12 @@ def main() -> None:
     ap.add_argument("--positions", action="store_true",
                     help="also build the positional index stage (phrase search)")
     ap.add_argument("--bucketed", type=int, default=0, metavar="BUCKETS",
-                    help="additionally register term_doc_tf/term_stats as "
-                         "term-bucketed catalog tables under OUT/bucketed "
-                         "(zero-shuffle term joins downstream)")
+                    help="additionally write term_doc_tf/term_stats as "
+                         "term-bucketed tables under OUT/bucketed; a later "
+                         "session calls index.build.register_bucketed(spark,"
+                         " OUT/bucketed) to rebuild the catalog entries from "
+                         "the _bucketed.json descriptor and get zero-shuffle "
+                         "term joins")
     args = ap.parse_args()
 
     spark = get_spark("mdse-build")

@@ -212,20 +212,73 @@ def write_index_bucketed(term_doc_tf: DataFrame, term_stats: DataFrame,
     ``sortBy(term)`` inside buckets keeps row-group term ranges tight, so
     the literal IN-list row-group pruning of the query path still applies.
     """
+    import json
+    import re
+    from pathlib import Path
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_prefix):
+        raise ValueError(f"table_prefix must be a SQL identifier: "
+                         f"{table_prefix!r}")
     spark = term_doc_tf.sparkSession
     tf_tbl = f"{table_prefix}_term_doc_tf"
     ts_tbl = f"{table_prefix}_term_stats"
-    for name in (tf_tbl, ts_tbl):
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-    (term_doc_tf.write.mode("overwrite")
+    # repartition to the bucket count first: without it every input task
+    # opens a writer per bucket it touches (up to tasks x buckets small
+    # files); with it each bucket is exactly one file
+    (term_doc_tf.repartition(buckets, F.col("term"))
+     .write.mode("overwrite")
      .option("path", f"{path}/{tf_tbl}")
      .bucketBy(buckets, "term").sortBy("term", "doc_id")
      .saveAsTable(tf_tbl))
-    (term_stats.write.mode("overwrite")
+    (term_stats.repartition(buckets, F.col("term"))
+     .write.mode("overwrite")
      .option("path", f"{path}/{ts_tbl}")
      .bucketBy(buckets, "term").sortBy("term")
      .saveAsTable(ts_tbl))
+    # Descriptor for cross-session re-registration: without a persistent
+    # metastore (this session catalog is in-memory), table METADATA —
+    # including the bucket spec — dies with the session even though the
+    # bucket-named files survive. register_bucketed() rebuilds the
+    # catalog entries from this file in any later session.
+    desc = {"buckets": buckets, "tables": {}}
+    for name, cols, sort_cols in (
+            (tf_tbl, spark.table(tf_tbl).schema.fields, ["term", "doc_id"]),
+            (ts_tbl, spark.table(ts_tbl).schema.fields, ["term"])):
+        desc["tables"][name] = {
+            "location": f"{path}/{name}",
+            "schema": [(f.name, f.dataType.simpleString()) for f in cols],
+            "sorted_by": sort_cols,
+        }
+    Path(path).mkdir(parents=True, exist_ok=True)
+    (Path(path) / "_bucketed.json").write_text(json.dumps(desc, indent=1))
     return tf_tbl, ts_tbl
+
+
+def register_bucketed(spark, path: str) -> list[str]:
+    """Re-register the bucketed tables written by
+    :func:`write_index_bucketed` in THIS session's catalog (the writer's
+    catalog is in-memory, so a new session sees only files; the
+    ``_bucketed.json`` descriptor carries the bucket spec a persistent
+    metastore would have held). Returns the table names. Idempotent."""
+    import json
+
+    import re as _re
+    from pathlib import Path as _Path
+    desc = json.loads((_Path(path) / "_bucketed.json").read_text())
+    names = []
+    for name, t in desc["tables"].items():
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+            raise ValueError(f"unsafe table name in descriptor: {name!r}")
+        cols = ", ".join(f"{c} {dt}" for c, dt in t["schema"])
+        sort = ", ".join(t["sorted_by"])
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING parquet "
+            f"CLUSTERED BY (term) SORTED BY ({sort}) "
+            f"INTO {desc['buckets']} BUCKETS "
+            f"LOCATION '{t['location']}'")
+        names.append(name)
+    return names
 
 
 def write_index(idx: IndexTables, path: str,

@@ -1,15 +1,36 @@
 """Bucketed index layout: the term-equality join between term_doc_tf and
 term_stats must run with NO shuffle exchange on either side when both are
-written bucketed on term — the cluster-scale co-location contract."""
+written bucketed on term — the cluster-scale co-location contract. The
+broadcast threshold is disabled for the join assertion so the plan is a
+genuine SortMergeJoin over bucketed scans (a broadcast would trivially
+have no exchange and prove nothing)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from mini_distributed_search_engine_spark.index.build import (
-    build_index, write_index_bucketed)
+    build_index, register_bucketed, write_index_bucketed)
 from mini_distributed_search_engine_spark.sources.transcripts import (
     synthesize_transcripts)
+
+
+def _assert_colocated_join(spark, tf_tbl, ts_tbl):
+    tf = spark.table(tf_tbl)
+    ts = spark.table(ts_tbl)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = tf.join(ts, "term").groupBy("term").agg(
+            F.sum(F.col("tf") * F.col("df")).alias("w"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # neither side needs a term-hash Exchange: both scans are bucketed
+        assert plan.count("Exchange hashpartitioning(term") == 0, plan
+        assert "Bucketed: true" in plan, plan
+        return joined.collect()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
@@ -18,23 +39,32 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         idx.term_doc_tf, idx.term_stats, "t_bucketed", str(tmp_path),
         buckets=8)
     try:
-        tf = spark.table(tf_tbl)
-        ts = spark.table(ts_tbl)
-        joined = tf.join(ts, "term").groupBy("term").agg(
-            F.sum(F.col("tf") * F.col("df")).alias("w"))
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        # both scans carry the bucket spec; the join itself needs no
-        # term-hash Exchange (AQE leaves bucketed children alone)
-        assert plan.count("Exchange hashpartitioning(term") == 0, plan
-        assert "Bucketed: true" in plan, plan
+        first = _assert_colocated_join(spark, tf_tbl, ts_tbl)
 
-        # and the bucketed copy holds exactly the same rows
+        # exactly one file per bucket (repartition-before-bucketBy)
+        import pathlib
+        tf_files = [p for p in pathlib.Path(tmp_path, tf_tbl).glob("*.parquet")]
+        assert len(tf_files) == 8, tf_files
+
+        # the bucketed copy holds exactly the same rows
         orig = {(r["term"], r["doc_id"], r["tf"])
                 for r in idx.term_doc_tf.select(
                     "term", "doc_id", "tf").collect()}
         got = {(r["term"], r["doc_id"], r["tf"])
-               for r in tf.select("term", "doc_id", "tf").collect()}
+               for r in spark.table(tf_tbl).select(
+                   "term", "doc_id", "tf").collect()}
         assert got == orig
+
+        # cross-session story: the writer's catalog is in-memory, so a new
+        # session sees only the files. Simulate one by dropping the
+        # entries, then re-register from the _bucketed.json descriptor —
+        # the bucket spec (and the zero-exchange join) must come back.
+        for name in (tf_tbl, ts_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        names = register_bucketed(spark, str(tmp_path))
+        assert set(names) == {tf_tbl, ts_tbl}
+        second = _assert_colocated_join(spark, tf_tbl, ts_tbl)
+        assert sorted(map(tuple, first)) == sorted(map(tuple, second))
     finally:
         for name in (tf_tbl, ts_tbl):
             spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -97,7 +97,7 @@ def test_random_graphs_star_and_propagation_match_union_find(spark, seed,
     edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
     want = _union_find_labels(n, edges)
     nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
-    edf = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+    edf = spark.createDataFrame(edges, "a long, b long")
     prop = {r["node"]: r["component"]
             for r in connected_components(nodes, edf, max_iters=64).collect()}
     star = {r["node"]: r["component"]
