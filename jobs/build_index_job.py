@@ -27,6 +27,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
     ap.add_argument("--documents", help="sf dir with documents.parquet")
+    ap.add_argument("--jsonl", help="JSONL transcript drop (glob ok); "
+                                    "malformed lines go to OUT/quarantine")
     ap.add_argument("--synthesize-turns", type=int, default=0)
     ap.add_argument("--shard-span", type=int, default=1 << 20)
     ap.add_argument("--merge-factor", type=int, default=8)
@@ -45,10 +47,17 @@ def main() -> None:
     spark = get_spark("mdse-build")
     if args.documents:
         tr = transcripts_from_documents(spark, args.documents)
+    elif args.jsonl:
+        from mini_distributed_search_engine_spark.sources.jsonl import (
+            transcripts_from_jsonl)
+        tr, quarantine = transcripts_from_jsonl(spark, args.jsonl)
+        quarantine.write.mode("overwrite").parquet(f"{args.out}/quarantine")
+        n_bad = spark.read.parquet(f"{args.out}/quarantine").count()
+        print(f"quarantined: {n_bad} lines -> {args.out}/quarantine")
     elif args.synthesize_turns:
         tr = synthesize_transcripts(spark, args.synthesize_turns // TURNS_PER_CONV)
     else:
-        ap.error("need --documents or --synthesize-turns")
+        ap.error("need --documents, --jsonl, or --synthesize-turns")
     pipe = StagedIndexBuild(spark, args.out, run_id=args.run_id)
     status = pipe.run(tr, shard_span=args.shard_span,
                       merge_factor=args.merge_factor,
