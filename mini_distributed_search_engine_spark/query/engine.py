@@ -68,17 +68,27 @@ class SearchEngine:
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         conjunctive = mode == "and"
         if role is not None:
-            # metadata-filtered retrieval rides the exhaustive path: the
-            # packed WAND kernel scores inside opaque posting blobs where a
-            # per-doc predicate can't prune before top-k
-            if conjunctive:
-                raise ValueError("role filter supports mode='or' only")
+            # metadata-filtered retrieval: the allowed doc_ids are sharded
+            # alongside the packed segments (wand.wand_topk allowed_docs —
+            # cogrouped per doc-range shard, masked before scoring), so a
+            # role= query serves from the SAME compressed index as every
+            # other query; no second uncompressed index copy stays hot.
             from pyspark.sql import functions as F
-            self._ensure_tf()
             allowed = self.docs.where(F.col("role") == role).select("doc_id")
-            out = bm25_topk(self.spark, self.tf, self.term_stats,
-                            self.doc_stats, queries=queries,
-                            allowed_docs=allowed)
+            if self.use_packed:
+                out = wand_topk(self.spark, self.packed, self.doc_stats,
+                                queries=queries,
+                                corpus_stats=self._corpus_stats,
+                                conjunctive=conjunctive,
+                                allowed_docs=allowed)
+            elif conjunctive:
+                raise ValueError(
+                    "role filter with mode='and' needs the packed index")
+            else:
+                self._ensure_tf()
+                out = bm25_topk(self.spark, self.tf, self.term_stats,
+                                self.doc_stats, queries=queries,
+                                allowed_docs=allowed)
         elif self.use_packed:
             out = wand_topk(self.spark, self.packed, self.doc_stats,
                             queries=queries,

@@ -183,17 +183,35 @@ class _Seg:
         return out
 
 
+def _in_sorted(docs: np.ndarray, allowed: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``docs`` in sorted array ``allowed`` (both
+    int64); O((|docs|) log |allowed|), no hashing."""
+    if allowed.size == 0:
+        return np.zeros(docs.size, dtype=bool)
+    pos = np.minimum(np.searchsorted(allowed, docs), allowed.size - 1)
+    return allowed[pos] == docs
+
+
 def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 n_docs: int, avgdl: float, round_scores: int | None,
-                conjunctive: bool = False):
+                conjunctive: bool = False, filtered: bool = False):
     """applyInPandas fn: one doc-shard's segments -> per-query top-k
     candidates. queries_meta: (query_id, terms, k); idf comes from the
     segments' stored global_df. ``conjunctive=True`` = AND semantics:
     sorted-array posting-list intersection (a doc's postings for every term
-    live in the same doc-range shard, so per-shard intersection is exact)."""
+    live in the same doc-range shard, so per-shard intersection is exact).
+
+    ``filtered=True`` returns a COGROUP fn (segments, allowed-doc rows):
+    candidates are masked against the shard's sorted allowed-doc array the
+    moment they are decoded, BEFORE any scoring or theta seeding — the
+    MaxScore bounds stay sound because theta is then the k-th best among
+    allowed docs only, and every upper bound still dominates every doc,
+    allowed included. Corpus statistics (idf, avgdl) stay global: standard
+    filtered-search semantics, rank-identical to `bm25.bm25_topk` with
+    ``allowed_docs`` (test-enforced)."""
     eps = 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame, allowed: np.ndarray | None) -> pd.DataFrame:
         segs: dict[str, _Seg] = {}
         for r in pdf.itertuples(index=False):
             segs[r.term] = _Seg(r, n_docs, avgdl)
@@ -210,6 +228,8 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 # so a hot term decodes only the blocks holding candidates
                 terms.sort(key=lambda x: x[1].df)
                 docs = terms[0][1].full()[0]
+                if allowed is not None:
+                    docs = docs[_in_sorted(docs, allowed)]
                 for _, seg in terms[1:]:
                     if docs.size == 0:
                         break
@@ -244,6 +264,9 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                     own = norms_i[new_mask]
                 else:
                     new_docs, own = docs_i, norms_i
+                if allowed is not None and new_docs.size:
+                    amask = _in_sorted(new_docs, allowed)
+                    new_docs, own = new_docs[amask], own[amask]
                 if new_docs.size == 0:
                     continue
                 own = seg.idf * own
@@ -307,6 +330,15 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                              "k": np.array([k for _, k in out_q],
                                            dtype="int32")})
 
+    if filtered:
+        def fn_cogroup(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            allowed = np.sort(right["doc_id"].to_numpy(dtype=np.int64))
+            return run(left, allowed)
+        return fn_cogroup
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return run(pdf, None)
+
     return fn
 
 
@@ -315,7 +347,8 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
               stem: bool = True,
               round_scores: int | None = 6,
               corpus_stats: tuple[int, float] | None = None,
-              conjunctive: bool = False) -> DataFrame:
+              conjunctive: bool = False,
+              allowed_docs: DataFrame | None = None) -> DataFrame:
     """Exact BM25 top-k via per-shard MaxScore over the packed index.
 
     Output schema identical to `bm25.bm25_topk`:
@@ -324,6 +357,17 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
     a warm query is then a single Spark job. ``conjunctive=True`` = AND
     semantics (sorted posting-list intersection per shard), matching
     `bm25.bm25_topk_conjunctive`.
+
+    ``allowed_docs`` (a frame with a doc_id column, e.g. docs filtered by a
+    metadata predicate) restricts results to that subset WITHOUT leaving
+    the compressed index: the allowed doc_ids are assigned to doc-range
+    shards with one narrow searchsorted pass over the (tiny, collected)
+    per-shard lower bounds, then COGROUPED with the pruned segments so each
+    shard's kernel sees only its own slice of the filter — never a
+    broadcast of the full allowed set, never a decode of disallowed
+    postings beyond the driver term's scan. Corpus statistics stay global
+    (standard filtered-search semantics; same oracle as the exhaustive
+    `bm25.bm25_topk(allowed_docs=...)` path).
     """
     qrows = analyzed_query_terms(queries, stem=stem)
     if corpus_stats is None:
@@ -342,12 +386,44 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
     queries_meta = [(q, ts, k) for q, (ts, k) in per_query.items()]
 
     fn = _shard_topk(queries_meta, n_docs, avgdl, round_scores,
-                     conjunctive=conjunctive)
+                     conjunctive=conjunctive,
+                     filtered=allowed_docs is not None)
 
-    def fn_typed(pdf: pd.DataFrame) -> pd.DataFrame:
-        return fn(pdf)
+    if allowed_docs is not None:
+        # Per-shard doc lower bounds: tiny (one row per shard after the agg
+        # — metadata-scale, like a partition listing), collected once and
+        # closed over by the narrow assignment pass below. Any candidate doc
+        # lives in some selected segment, hence >= its shard's min first_doc
+        # and (doc ranges being disjoint and ordered by shard_id) < the next
+        # shard's — searchsorted over the sorted lower bounds is exact.
+        bounds = sorted((int(r["lo"]), int(r["shard_id"])) for r in
+                        sel.groupBy("shard_id")
+                        .agg(F.min("first_doc").alias("lo")).collect())
+        los = np.array([lo for lo, _ in bounds], dtype=np.int64)
+        sids = np.array([s for _, s in bounds], dtype=np.int32)
 
-    cands = sel.groupBy("shard_id").applyInPandas(fn_typed, CAND_SCHEMA)
+        def assign(batches):
+            for pdf in batches:
+                d = pdf["doc_id"].to_numpy(dtype=np.int64)
+                idx = np.searchsorted(los, d, side="right") - 1
+                keep = idx >= 0
+                yield pd.DataFrame({"shard_id": sids[idx[keep]],
+                                    "doc_id": d[keep]})
+
+        allowed_sharded = (allowed_docs.select(F.col("doc_id").cast("long"))
+                           .mapInPandas(assign, "shard_id int, doc_id long"))
+
+        def fn_cog(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            return fn(left, right)
+
+        cands = (sel.groupBy("shard_id")
+                 .cogroup(allowed_sharded.groupBy("shard_id"))
+                 .applyInPandas(fn_cog, CAND_SCHEMA))
+    else:
+        def fn_typed(pdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(pdf)
+
+        cands = sel.groupBy("shard_id").applyInPandas(fn_typed, CAND_SCHEMA)
     score = F.round(F.col("score"), round_scores) if round_scores is not None \
         else F.col("score")
     scored = cands.withColumn("score", score)

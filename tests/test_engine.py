@@ -126,8 +126,8 @@ def test_serve_job_loop(spark, index_root):
 
 
 def test_engine_role_filtered_search(spark, index_root):
-    eng = SearchEngine(spark, index_root)   # packed engine: filter falls
-    rows = eng.search("apple banana", k=50, role="user")     # back to tf path
+    eng = SearchEngine(spark, index_root)   # packed engine: the filter is
+    rows = eng.search("apple banana", k=50, role="user")  # masked IN-kernel
     assert rows, "filtered search returned nothing"
     assert all(r["role"] == "user" for r in rows)
     # filtered results are the role-subset of unfiltered scoring: every
@@ -136,5 +136,17 @@ def test_engine_role_filtered_search(spark, index_root):
                   for r in eng.search("apple banana", k=1000, role=None)}
     for r in rows:
         assert unfiltered.get(r["doc_id"]) == r["score"]
+    # the packed path serves AND + role too (kernel-side mask after the
+    # posting-list intersection)
+    and_rows = eng.search("apple banana", k=50, mode="and", role="user")
+    assert all(r["role"] == "user" for r in and_rows)
+    and_ids = {r["doc_id"] for r in and_rows}
+    assert and_ids <= {r["doc_id"] for r in rows}  # AND subset of OR
+    # the exhaustive engine still refuses AND + role (no kernel to mask in)
+    tf_eng = SearchEngine(spark, index_root, use_packed=False)
     with pytest.raises(ValueError, match="role"):
-        eng.search("apple", mode="and", role="user")
+        tf_eng.search("apple", mode="and", role="user")
+    # and the packed + exhaustive OR paths rank-agree under the filter
+    tf_rows = tf_eng.search("apple banana", k=50, role="user")
+    assert [(r["rank"], r["doc_id"], r["score"]) for r in rows] == \
+        [(r["rank"], r["doc_id"], r["score"]) for r in tf_rows]
