@@ -239,17 +239,19 @@ SELECT query_vec_id, rank, vec_id, cos FROM r WHERE rank <= {k}"""
 
 
 def sql_hybrid_topk(pairs=None, k: int = 10, k_each: int = 20,
-                    rrf_k: int = 60) -> str:
+                    rrf_k: int = 60, ann: bool = False) -> str:
     # mirrors query/hybrid.py: RRF over the bm25 and cosine rank lists;
-    # both legs are the already-verified oracles nested as CTE subqueries
+    # both legs are the already-verified oracles nested as CTE subqueries.
+    # ann=True swaps the exact-cosine leg for the IVF-flat oracle
+    # (sql_ivf_ann_topk), mirroring hybrid.hybrid_ann_topk.
     from .oracle import sql_bm25_topk
     from .query.bm25 import Query
     from .query.hybrid import HYBRID_QUERIES
     pairs = pairs or HYBRID_QUERIES
     texts = tuple(Query(qid, text, k=k_each) for qid, text, _ in pairs)
     b_sql = sql_bm25_topk(stem=True, queries=texts)
-    c_sql = sql_cosine_topk(query_ids=tuple(v for _, _, v in pairs),
-                            k=k_each)
+    leg = sql_ivf_ann_topk if ann else sql_cosine_topk
+    c_sql = leg(query_ids=tuple(v for _, _, v in pairs), k=k_each)
     m_vals = ", ".join(f"('{qid}', {v})" for qid, _, v in pairs)
     return f"""
 WITH b AS ({b_sql}),

@@ -35,19 +35,13 @@ HYBRID_QUERIES: tuple[tuple[str, str, int], ...] = (
 )
 
 
-def hybrid_topk(spark: SparkSession, term_doc_tf: DataFrame,
-                term_stats: DataFrame, doc_stats: DataFrame,
-                embeddings: DataFrame,
-                pairs: tuple[tuple[str, str, int], ...] = HYBRID_QUERIES,
-                k: int = 10, k_each: int = 20,
-                rrf_k: int = RRF_K) -> DataFrame:
-    """(query_id, rank, doc_id, rrf): RRF fusion of BM25 top-k_each and
-    cosine top-k_each per hybrid query; ties by doc_id asc."""
-    texts = tuple(Query(qid, text, k=k_each) for qid, text, _ in pairs)
-    b = (bm25_topk(spark, term_doc_tf, term_stats, doc_stats, queries=texts)
-         .select("query_id", "doc_id", "rank"))
-    c = cosine_topk(embeddings,
-                    query_ids=tuple(v for _, _, v in pairs), k=k_each)
+def _fuse(spark: SparkSession, b: DataFrame, c: DataFrame,
+          pairs: tuple[tuple[str, str, int], ...],
+          k: int, rrf_k: int) -> DataFrame:
+    """RRF fusion of a lexical rank list (query_id, doc_id, rank) and a
+    semantic one (query_vec_id, vec_id, rank); ties by doc_id asc. The
+    fusion only ever sees the two candidate lists (O(queries x k_each)
+    rows), so its cost is corpus-size-independent."""
     m = spark.createDataFrame([(qid, v) for qid, _, v in pairs],
                               "query_id string, qvec long")
     cm = (c.join(F.broadcast(m), c["query_vec_id"] == m["qvec"])
@@ -63,3 +57,43 @@ def hybrid_topk(spark: SparkSession, term_doc_tf: DataFrame,
             .where(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("int").alias("rank"),
                     "doc_id", "rrf"))
+
+
+def hybrid_topk(spark: SparkSession, term_doc_tf: DataFrame,
+                term_stats: DataFrame, doc_stats: DataFrame,
+                embeddings: DataFrame,
+                pairs: tuple[tuple[str, str, int], ...] = HYBRID_QUERIES,
+                k: int = 10, k_each: int = 20,
+                rrf_k: int = RRF_K) -> DataFrame:
+    """(query_id, rank, doc_id, rrf): RRF fusion of BM25 top-k_each and
+    EXACT cosine top-k_each per hybrid query. The exact semantic leg is
+    O(corpus) per query — the correctness baseline and batch one-pass
+    shape; `hybrid_ann_topk` below is the serving path."""
+    texts = tuple(Query(qid, text, k=k_each) for qid, text, _ in pairs)
+    b = (bm25_topk(spark, term_doc_tf, term_stats, doc_stats, queries=texts)
+         .select("query_id", "doc_id", "rank"))
+    c = cosine_topk(embeddings,
+                    query_ids=tuple(v for _, _, v in pairs), k=k_each)
+    return _fuse(spark, b, c, pairs, k, rrf_k)
+
+
+def hybrid_ann_topk(spark: SparkSession, term_doc_tf: DataFrame,
+                    term_stats: DataFrame, doc_stats: DataFrame,
+                    embeddings: DataFrame,
+                    pairs: tuple[tuple[str, str, int], ...] = HYBRID_QUERIES,
+                    k: int = 10, k_each: int = 20,
+                    rrf_k: int = RRF_K) -> DataFrame:
+    """Serving-shaped hybrid: the semantic candidates come from IVF-flat
+    ANN (`similarity.ivf_ann_topk` — probe-pruned to ~n_probe/n_centroids
+    of the corpus per query; swap in `ivf_partitioned_topk` over the
+    at-rest layout for directory-pruned IO) instead of the exact cosine
+    pass. Candidates differ from `hybrid_topk` wherever ANN recall does,
+    so it carries its own oracle (the IVF CTEs nested in place of the
+    exact leg); recall vs the exact-leg hybrid is pytest-bounded."""
+    from ..functions.similarity import ivf_ann_topk
+    texts = tuple(Query(qid, text, k=k_each) for qid, text, _ in pairs)
+    b = (bm25_topk(spark, term_doc_tf, term_stats, doc_stats, queries=texts)
+         .select("query_id", "doc_id", "rank"))
+    c = ivf_ann_topk(embeddings,
+                     query_ids=tuple(v for _, _, v in pairs), k=k_each)
+    return _fuse(spark, b, c, pairs, k, rrf_k)

@@ -218,3 +218,30 @@ def test_hybrid_rrf_fusion(spark):
         assert all(r["rrf"] > 0 for r in rs)
     # the fused score is bounded by the two-list maximum 2/(60+1)
     assert all(r["rrf"] <= round(2 / 61, 6) for r in rows)
+
+
+def test_hybrid_ann_recall_vs_exact(spark):
+    """The IVF-leg hybrid must agree with the exact-leg hybrid on most of
+    the fused top-k (ANN recall flows through the fusion): per query,
+    >= 60% of the exact hybrid's top-10 docs also appear in the ANN
+    hybrid's top-10, and the lexical-only contribution is identical."""
+    import __spark_entry__ as E
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+    exact = qs["hybrid_rrf_topk"](spark, sf).collect()
+    ann = qs["hybrid_rrf_ann_topk"](spark, sf).collect()
+    ex_by_q, an_by_q = {}, {}
+    for r in exact:
+        ex_by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    for r in ann:
+        an_by_q.setdefault(r["query_id"], set()).add(r["doc_id"])
+    assert set(ex_by_q) == set(an_by_q)
+    for q in ex_by_q:
+        overlap = len(ex_by_q[q] & an_by_q[q]) / len(ex_by_q[q])
+        assert overlap >= 0.6, (q, sorted(ex_by_q[q]), sorted(an_by_q[q]))
+    # rank sanity on the ANN variant: contiguous per-query ranks
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
