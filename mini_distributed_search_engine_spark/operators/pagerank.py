@@ -106,9 +106,11 @@ def derived_edges_uneven(docs: DataFrame) -> DataFrame:
 # The sf0.01 gate fixture (500 docs) converges at depth 9 for the
 # reference's default threshold 0.1 (PageRank.java:159-186, default t=0.1):
 # max|delta| per iteration = 0.425, 0.542, 0.461, 0.424, 0.347, 0.295,
-# 0.238, 0.118, 0.0755 < 0.1. The oracle unrolls exactly that depth; a
-# pytest recomputes the depth dynamically at a different corpus size to
-# prove loop<->unrolled parity is not fixture luck.
+# 0.238, 0.118, 0.0755 < 0.1. The converged ORACLE no longer bakes this in
+# (pagerank_converged_sql self-selects its stop level in SQL); the constant
+# remains as the documented fixture expectation, pinned by a pytest that
+# recomputes it, plus a second pytest at a different corpus size proving
+# loop<->unrolled parity is not fixture luck.
 CONVERGED_THRESHOLD = 0.1
 CONVERGED_DEPTH_SF001 = 9
 
@@ -160,7 +162,42 @@ def pagerank_fixed_sql(iters: int = 5) -> str:
     return unrolled_pagerank_sql(iters)
 
 
-def pagerank_converged_sql(iters: int = CONVERGED_DEPTH_SF001) -> str:
-    """Oracle for the converged query: the loop unrolled to the depth the
-    threshold rule reaches on the sf0.01 gate fixture (see constant note)."""
-    return unrolled_pagerank_sql(iters)
+def pagerank_converged_sql(threshold: float = CONVERGED_THRESHOLD,
+                           max_iter: int = 64) -> str:
+    """Oracle for the converged query: SELF-SELECTING unroll. All
+    ``max_iter`` levels are generated; per-level max|rank - prev| CTEs
+    (d1..dN) feed a stop CTE that picks the FIRST level whose delta drops
+    under the threshold (falling back to max_iter, mirroring the engine
+    loop's safety cap), and the result is read from that level of a
+    level-tagged union. No fixture-size constant anywhere: running the
+    correctness check at any corpus size compares against the depth the
+    threshold rule actually reaches THERE — the same stopping rule as
+    `pagerank(threshold=..., max_iter=64)`, evaluated in SQL."""
+    # every r{i} is referenced three times (next level, its delta, the
+    # final union) — MATERIALIZED stops DuckDB inlining the whole chain
+    # into an exponentially-replicated scan tree
+    sql = [_UNEVEN_EDGES_CTE.replace("edges AS (", "edges AS MATERIALIZED (")
+           .replace("r0 AS (", "r0 AS MATERIALIZED (")
+           .replace("deg AS (", "deg AS MATERIALIZED (")]
+    for i in range(1, max_iter + 1):
+        sql.append(f""",
+c{i} AS (SELECT e.dst AS node, sum({DAMPING} * r.rank / d.n) AS inc
+        FROM edges e JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst),
+r{i} AS MATERIALIZED (SELECT r.node, {BASE} + coalesce(c.inc, 0.0) AS rank
+        FROM r{i - 1} r LEFT JOIN c{i} c ON c.node = r.node),
+d{i} AS (SELECT max(abs(r.rank - p.rank)) AS delta
+        FROM r{i} r JOIN r{i - 1} p ON p.node = r.node)""")
+    lv_union = " UNION ALL ".join(
+        f"SELECT {i} AS i, delta FROM d{i}" for i in range(1, max_iter + 1))
+    all_union = " UNION ALL ".join(
+        f"SELECT {i} AS i, node, rank FROM r{i}"
+        for i in range(1, max_iter + 1))
+    sql.append(f""",
+lv AS ({lv_union}),
+stop AS (SELECT coalesce(min(i), {max_iter}) AS i FROM lv
+         WHERE delta < {threshold}),
+alllv AS ({all_union})
+SELECT node, round(rank, 9) AS rank FROM alllv
+WHERE i = (SELECT i FROM stop)""")
+    return "".join(sql)
