@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
@@ -43,10 +44,29 @@ def _row_json(r) -> dict:
              "role", "snippet") if k in d}
 
 
+def _pos_int(q: dict, key: str, default: int, cap: int = 10_000) -> int:
+    """Parse a positive bounded int query param; ValueError -> a 400 (the
+    stdin serve_job applies the same rule to its role queries)."""
+    v = int(q.get(key, str(default)))
+    if not 0 < v <= cap:
+        raise ValueError(f"{key} must be in 1..{cap}, got {v}")
+    return v
+
+
 def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
+    # appends and the /stats snapshot share the deque across handler
+    # threads; CPython raises "deque mutated during iteration" if sorted()
+    # walks it mid-append, so both sides go through one lock
+    lats_lock = threading.Lock()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):        # quiet: latency is logged by us
             pass
+
+        @staticmethod
+        def _record(took: float) -> None:
+            with lats_lock:
+                lats.append(took)
 
         def _json(self, code: int, payload) -> None:
             body = json.dumps(payload).encode()
@@ -64,7 +84,7 @@ def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
                 if u.path == "/search":
                     if "q" not in q:
                         return self._json(400, {"err": "q parameter required"})
-                    k = int(q.get("k", "10"))
+                    k = _pos_int(q, "k", 10)
                     mode = q.get("mode", "or")
                     if mode not in ("or", "and"):
                         return self._json(400, {"err": "mode must be or|and"})
@@ -73,25 +93,27 @@ def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
                     # local elapsed, THEN append: concurrent handler threads
                     # share `lats`, so lats[-1] could be another request's
                     took = time.perf_counter() - t0
-                    lats.append(took)
+                    self._record(took)
                     return self._json(200, {"rows": [_row_json(r) for r in rows],
                                             "took_sec": round(took, 4)})
                 if u.path == "/phrase":
                     if "q" not in q:
                         return self._json(400, {"err": "q parameter required"})
-                    rows = engine.search_phrase(q["q"], k=int(q.get("k", "10")))
+                    rows = engine.search_phrase(q["q"], k=_pos_int(q, "k", 10))
                     took = time.perf_counter() - t0
-                    lats.append(took)
+                    self._record(took)
                     return self._json(200, {"rows": [_row_json(r) for r in rows],
                                             "took_sec": round(took, 4)})
                 if u.path == "/words":
                     terms = engine.suggest(q.get("prefix", ""),
-                                           n=int(q.get("n", "10")))
-                    lats.append(time.perf_counter() - t0)
+                                           n=_pos_int(q, "n", 10))
+                    self._record(time.perf_counter() - t0)
                     return self._json(200, {"terms": terms})
                 if u.path == "/stats":
                     n, avgdl = engine._corpus_stats
-                    window = sorted(lats)   # snapshot; p50 of last <=10k
+                    with lats_lock:         # copy under the lock, sort after
+                        window = list(lats)
+                    window.sort()           # p50 of last <=10k
                     p50 = window[len(window) // 2] if window else 0.0
                     return self._json(200, {
                         "n_docs": n, "avgdl": round(avgdl, 3),

@@ -265,10 +265,29 @@ def register_bucketed(spark, path: str) -> list[str]:
     import re as _re
     from pathlib import Path as _Path
     desc = json.loads((_Path(path) / "_bucketed.json").read_text())
+    # Everything interpolated into the DDL below is validated: a tampered
+    # or corrupted descriptor must fail loudly, not inject SQL into the
+    # session catalog. Identifiers: [A-Za-z_][A-Za-z0-9_]*; types: Spark
+    # simpleString grammar (nested array/struct types allowed, but only
+    # from the type alphabet); location: no quotes/backslashes.
+    _ident = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+    _type = _re.compile(r"[a-z0-9_<>,() ]+")
+    if not isinstance(desc.get("buckets"), int) or desc["buckets"] <= 0:
+        raise ValueError(f"unsafe bucket count: {desc.get('buckets')!r}")
     names = []
     for name, t in desc["tables"].items():
-        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        if not _ident.fullmatch(name):
             raise ValueError(f"unsafe table name in descriptor: {name!r}")
+        for c, dt in t["schema"]:
+            if not _ident.fullmatch(c):
+                raise ValueError(f"unsafe column name in {name}: {c!r}")
+            if not _type.fullmatch(dt):
+                raise ValueError(f"unsafe column type in {name}: {dt!r}")
+        for c in t["sorted_by"]:
+            if not _ident.fullmatch(c):
+                raise ValueError(f"unsafe sort column in {name}: {c!r}")
+        if any(ch in t["location"] for ch in "'\"\\"):
+            raise ValueError(f"unsafe location in {name}: {t['location']!r}")
         cols = ", ".join(f"{c} {dt}" for c, dt in t["schema"])
         sort = ", ".join(t["sorted_by"])
         spark.sql(f"DROP TABLE IF EXISTS {name}")
