@@ -124,6 +124,19 @@ def _bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(spark, packed, idx.doc_stats)
 
 
+def _bm25_filtered_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered retrieval SERVED FROM THE COMPRESSED INDEX: the
+    allowed doc set (role = 'user') is sharded alongside the packed
+    segments and masked inside the MaxScore kernel before scoring — no
+    fallback to the uncompressed postings. Same oracle as
+    `bm25_topk_filtered`: the physical path changes, the ranks must not."""
+    idx = _index(spark, sf_dir, stem=True)
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=256)
+    allowed = idx.docs.where(F.col("role") == "user").select("doc_id")
+    return wand_topk(spark, packed, idx.doc_stats, allowed_docs=allowed)
+
+
 def _bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: doc must contain every analyzed query
     term — the declarative posting-list-intersection path."""
@@ -347,6 +360,18 @@ def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        idx.doc_stats, _emb(spark, sf_dir))
 
 
+def _hybrid_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-shaped hybrid retrieval: the semantic leg is IVF-flat ANN
+    (probe-pruned, corpus-scan-free) instead of the exact cosine pass —
+    the 100 TB fusion path. Own oracle (IVF CTEs nested in the fusion);
+    recall vs the exact-leg hybrid is pytest-bounded."""
+    from mini_distributed_search_engine_spark.query.hybrid import (
+        hybrid_ann_topk)
+    idx = _index(spark, sf_dir, stem=True)
+    return hybrid_ann_topk(spark, idx.term_doc_tf, idx.term_stats,
+                           idx.doc_stats, _emb(spark, sf_dir))
+
+
 def _doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 characteristic terms per doc by tf*ln(N/df) — the keyword-
     extraction labeling primitive, computed from the index's own tables."""
@@ -448,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats(stem=True),
         "bm25_topk": _bm25(stem=True),
         "bm25_topk_filtered": _bm25_filtered,
+        # NEW round 4: same filter semantics served from the packed index
+        "bm25_topk_filtered_wand": _bm25_filtered_wand,
         "bm25_topk_collapsed": _bm25_collapsed,
         "bm25_topk_wand": _bm25_wand,
         "bm25_topk_and_wand": _bm25_and_wand,
@@ -458,6 +485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_lineage": _index_lineage,
         "packed_incremental_roundtrip": _packed_incremental,
         "hybrid_rrf_topk": _hybrid_topk,
+        # NEW round 4: IVF-ANN semantic leg (the serving-path fusion)
+        "hybrid_rrf_ann_topk": _hybrid_ann_topk,
         "dedup_exact": lambda s, d: D.exact_dedup(_docs(s, d)),
         "dedup_lsh_candidates": lambda s, d: D.lsh_candidate_pairs(
             D.minhash_signatures(_docs(s, d))),
@@ -580,6 +609,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_nostem": O.sql_bm25_topk(stem=False),
         "bm25_topk_filtered": O.sql_bm25_topk(
             stem=True, doc_filter_sql="fd.role = 'user'"),
+        "bm25_topk_filtered_wand": O.sql_bm25_topk(
+            stem=True, doc_filter_sql="fd.role = 'user'"),
         "bm25_topk_collapsed": O.sql_bm25_collapsed(stem=True),
         "bm25_topk_wand": O.sql_bm25_topk(stem=True),
         "bm25_topk_and": O.sql_bm25_topk_conjunctive(stem=True),
@@ -663,6 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_kmeans_centroids": OM.sql_kmeans_centroids(),
         # --- past the driver window ---
         "hybrid_rrf_topk": OM.sql_hybrid_topk(),
+        "hybrid_rrf_ann_topk": OM.sql_hybrid_topk(ann=True),
         "dedup_minhash_sigs": OM.sql_minhash_signatures(),
         "dedup_ngram_jaccard": OM.sql_ngram_jaccard(),
         "dedup_simhash": OM.sql_simhash(),
