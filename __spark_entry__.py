@@ -283,6 +283,50 @@ def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_packed(old_packed, new_tf, avgdl, shard_span=128))
 
 
+def _streaming_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING-built index against the DuckDB postings oracle: the
+    sf transcripts are split on conversation boundaries into three files
+    (append-only order), drained through the foreachBatch incremental-
+    append sink as three micro-batches (O(batch) bytes each, boundary-
+    shard splices), LSM-``compact()``ed to one generation, and decoded
+    back to (term, doc_id, tf, dl) rows. Same oracle as
+    `packed_roundtrip`: the ingestion path changes, the postings must
+    not. Until now this parity was pytest-vs-batch-engine only; this
+    entry proves the streaming path against the independent oracle."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+    from mini_distributed_search_engine_spark.streaming.indexing import (
+        StreamingIndexer, read_transcript_stream)
+    root = tempfile.mkdtemp(prefix="mdse_stream_gate_")
+    try:
+        src = Path(root) / "in"
+        src.mkdir()
+        tr = transcripts_from_documents(spark, sf_dir)
+        pdf = tr.orderBy("conv_id", "turn_idx").toPandas()
+        convs = sorted(pdf["conv_id"].unique())
+        bounds = [convs[len(convs) // 3], convs[2 * len(convs) // 3]]
+        chunks = [pdf[pdf["conv_id"] < bounds[0]],
+                  pdf[(pdf["conv_id"] >= bounds[0])
+                      & (pdf["conv_id"] < bounds[1])],
+                  pdf[pdf["conv_id"] >= bounds[1]]]
+        # sequential writes => increasing mod-times; the file source drains
+        # oldest-first, preserving the append-only conv order across batches
+        for i, chunk in enumerate(chunks):
+            (spark.createDataFrame(chunk, schema=tr.schema).coalesce(1)
+             .write.parquet(str(src / f"part{i}.parquet")))
+        indexer = StreamingIndexer(spark, str(Path(root) / "idx"),
+                                   shard_span=128)
+        q = indexer.start(read_transcript_stream(spark, str(src)))
+        q.awaitTermination(300)
+        indexer.compact()
+        rows = unpack_to_rows(indexer.packed())
+        # localize (sf0.01-scale result) so the scratch root can be removed
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _bm25_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Field collapsing: the hydrated top-k list reduced to each
     conversation's best-ranked turn, conversations re-ranked by that
@@ -327,6 +371,23 @@ def _dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = emb.select(F.col("vec_id").alias("id"))
     return (connected_components_star(nodes, edges,
                                       a_col="vec_a", b_col="vec_b")
+            .select(F.col("node").alias("vec_id"),
+                    F.col("component").cast("long").alias("component")))
+
+
+def _dedup_components_star_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-star/large-star CC on a DEEP graph at the gate: a
+    deterministic path fixture (chains of 128 consecutive vec_ids,
+    diameter 127) where min-label propagation would need 127 rounds — far
+    past its 25-round guard, which a pytest proves raises on this very
+    edge set. Star-CC converges in O(log^2 n) rounds regardless; the
+    oracle is the same reachability fixpoint as a recursive CTE."""
+    from mini_distributed_search_engine_spark.operators.components import (
+        connected_components_star, derived_path_edges)
+    emb = _emb(spark, sf_dir)
+    edges = derived_path_edges(emb.select("vec_id"), chain=128)
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return (connected_components_star(nodes, edges, a_col="va", b_col="vb")
             .select(F.col("node").alias("vec_id"),
                     F.col("component").cast("long").alias("component")))
 
@@ -484,6 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_roundtrip": _packed_roundtrip,
         "index_lineage": _index_lineage,
         "packed_incremental_roundtrip": _packed_incremental,
+        # NEW round 4: streaming-built index vs the independent oracle
+        "streaming_index_roundtrip": _streaming_index_roundtrip,
         "hybrid_rrf_topk": _hybrid_topk,
         # NEW round 4: IVF-ANN semantic leg (the serving-path fusion)
         "hybrid_rrf_ann_topk": _hybrid_ann_topk,
@@ -493,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _dedup_components,
         # NEW round 3: deep-diameter CC path, same fixpoint oracle
         "dedup_components_star": _dedup_components_star,
+        # NEW round 4: star-CC on a deep-diameter (127) path fixture
+        "dedup_components_star_deep": _dedup_components_star_deep,
         "embed_ivf_ann_topk": lambda s, d: S.ivf_ann_topk(_emb(s, d)),
         # NEW round 3: partition-pruned at-rest IVF layout, same rank oracle
         "embed_ivf_partitioned_topk": _ivf_partitioned_topk,
@@ -626,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "index_lineage": O.sql_index_lineage(shard_span=128, stem=True),
         "packed_incremental_roundtrip": O.sql_term_doc_tf_dl(stem=True),
+        "streaming_index_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "flame_parallelize": (
             "SELECT * FROM (VALUES " + ", ".join(
                 f"({i}, '{w}')" for i, w in enumerate(flame.PARALLELIZE_DATA))
@@ -689,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_candidates": OM.sql_lsh_candidates(),
         "dedup_components": OM.sql_dedup_components(),
         "dedup_components_star": OM.sql_dedup_components(),
+        "dedup_components_star_deep": OM.sql_components_deep_path(),
         "embed_ivf_ann_topk": OM.sql_ivf_ann_topk(),
         "embed_ivf_partitioned_topk": OM.sql_ivf_ann_topk(),
         "embed_kmeans_centroids": OM.sql_kmeans_centroids(),

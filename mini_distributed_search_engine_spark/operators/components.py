@@ -98,6 +98,22 @@ def _small_star(edges: DataFrame) -> DataFrame:
             .where(F.col("u") != F.col("v")).distinct())
 
 
+def derived_path_edges(ids: DataFrame, id_col: str = "vec_id",
+                       chain: int = 128) -> DataFrame:
+    """Deterministic deep-diameter fixture: chains of ``chain`` consecutive
+    ids (edge i -> i+1 unless i+1 starts a new chain), diameter chain-1.
+    Min-label propagation needs diameter rounds (its guard raises at 25);
+    small-star/large-star contracts the same chains in O(log^2 n) rounds —
+    this edge set makes that advantage a gate-checkable fact, not just a
+    pytest claim. The +1 self-join is an equi-join (one shuffle on the id),
+    never an all-pairs product."""
+    a = ids.select(F.col(id_col).alias("va"))
+    b = ids.select(F.col(id_col).alias("vb"))
+    return (a.where((F.col("va") + 1) % chain != 0)
+            .join(b, F.col("vb") == F.col("va") + 1)
+            .select("va", "vb"))
+
+
 def connected_components_star(nodes: DataFrame, edges: DataFrame,
                               id_col: str = "id", a_col: str = "a",
                               b_col: str = "b",

@@ -363,6 +363,26 @@ SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS component
 FROM reach GROUP BY node"""
 
 
+def sql_components_deep_path(chain: int = 128) -> str:
+    # deep-diameter fixture: chains of `chain` consecutive vec_ids (edge
+    # i -> i+1 unless i+1 starts a new chain) — diameter chain-1, far past
+    # the propagation operator's 25-round guard. The reachability fixpoint
+    # is the same recursive CTE as sql_dedup_components; UNION-dedup makes
+    # the recursion depth the diameter, which DuckDB handles fine here.
+    return f"""
+WITH RECURSIVE e AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+  WHERE (a.vec_id + 1) % {chain} <> 0),
+sym(src, dst) AS (SELECT va, vb FROM e UNION SELECT vb, va FROM e),
+reach(node, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node)
+SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS component
+FROM reach GROUP BY node"""
+
+
 def sql_token_counts() -> str:
     # same lookahead-free BPE-ish regex as textstats.BPE_TOKEN_RE; RE2 and
     # Java regex agree on leftmost-first alternation for it

@@ -49,6 +49,27 @@ def test_star_converges_fast_on_deep_path_and_matches(spark):
     assert got == {i: 0 for i in range(60)}
 
 
+def test_derived_path_edges_deep_fixture(spark):
+    """The gate's deep-diameter fixture (dedup_components_star_deep):
+    chains of 128 consecutive ids over a 300-id space. Propagation's
+    default 25-round guard must trip (diameter 127); star-CC must
+    converge and label every node with its chain's minimum."""
+    from pyspark.sql import functions as F
+    from mini_distributed_search_engine_spark.operators.components import (
+        derived_path_edges)
+    ids = spark.range(300).select(F.col("id").alias("vec_id"))
+    edges = derived_path_edges(ids, chain=128)
+    # edge count: one per consecutive pair minus the chain breaks at 127,255
+    assert edges.count() == 299 - 2
+    nodes = ids.select(F.col("vec_id").alias("id"))
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(nodes, edges, a_col="va", b_col="vb")
+    got = {r["node"]: r["component"]
+           for r in connected_components_star(
+               nodes, edges, a_col="va", b_col="vb").collect()}
+    assert got == {i: (i // 128) * 128 for i in range(300)}
+
+
 def test_star_matches_propagation_on_mixed_graph(spark):
     nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
     # two chains, a triangle, two isolated nodes; edges in scrambled order
