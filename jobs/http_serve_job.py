@@ -144,11 +144,16 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8077)
     ap.add_argument("--exhaustive", action="store_true",
                     help="serve from the uncompressed index instead of packed")
+    ap.add_argument("--bucketed", default=None, metavar="PATH",
+                    help="root of a write_index_bucketed layout: the "
+                         "exhaustive/analytics legs read the term-bucketed "
+                         "catalog tables (zero-exchange term joins)")
     args = ap.parse_args()
 
     spark = get_spark("mdse-http-serve")
     t0 = time.perf_counter()
-    engine = SearchEngine(spark, args.index, use_packed=not args.exhaustive)
+    engine = SearchEngine(spark, args.index, use_packed=not args.exhaustive,
+                          bucketed_path=args.bucketed)
     engine.search("warmup probe", k=1)    # prime codegen + the join path
     srv = serve_http(engine, args.port)
     print(f"ready\tport={srv.server_address[1]}\t"

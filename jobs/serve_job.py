@@ -109,11 +109,16 @@ def main() -> None:
     ap.add_argument("--index", required=True)
     ap.add_argument("--exhaustive", action="store_true",
                     help="serve from the uncompressed index instead of packed")
+    ap.add_argument("--bucketed", default=None, metavar="PATH",
+                    help="root of a write_index_bucketed layout: the "
+                         "exhaustive/analytics legs read the term-bucketed "
+                         "catalog tables (zero-exchange term joins)")
     args = ap.parse_args()
 
     spark = get_spark("mdse-serve")
     t0 = time.perf_counter()
-    engine = SearchEngine(spark, args.index, use_packed=not args.exhaustive)
+    engine = SearchEngine(spark, args.index, use_packed=not args.exhaustive,
+                          bucketed_path=args.bucketed)
     # prime codegen/Arrow workers so the FIRST user request isn't the one
     # paying JIT cost (the reference Searcher warms its IDF cache the same
     # way at startup)

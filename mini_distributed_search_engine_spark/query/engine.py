@@ -24,9 +24,25 @@ from .wand import wand_topk
 
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_root: str,
-                 use_packed: bool = True):
+                 use_packed: bool = True,
+                 bucketed_path: str | None = None):
+        """``bucketed_path``: root of a `write_index_bucketed` layout. When
+        given, the engine's term_doc_tf / term_stats come from the TERM-
+        BUCKETED catalog tables (re-registered in this session from the
+        `_bucketed.json` descriptor), so any full-width term-equality join
+        between them — IDF attach on an unpruned term set, posting-vs-
+        stats audits, tfidf over the whole vocabulary — plans with ZERO
+        exchange on either side (test-asserted). The per-query packed WAND
+        path is unaffected; this feeds the exhaustive/analytics legs."""
         self.spark = spark
         self.use_packed = use_packed
+        self._bucketed_tables: tuple[str, str] | None = None
+        if bucketed_path is not None:
+            from ..index.build import register_bucketed
+            names = register_bucketed(spark, bucketed_path)
+            tf_tbl = next(n for n in names if n.endswith("_term_doc_tf"))
+            ts_tbl = next(n for n in names if n.endswith("_term_stats"))
+            self._bucketed_tables = (tf_tbl, ts_tbl)
         self.doc_stats = spark.read.parquet(f"{index_root}/stats/doc_stats")
         self._stats_row = self.doc_stats.collect()[0]  # warm once
         self._corpus_stats = (int(self._stats_row["n_docs"]),
@@ -49,16 +65,25 @@ class SearchEngine:
 
     def _ensure_term_stats(self) -> DataFrame:
         if not hasattr(self, "term_stats"):
-            self.term_stats = self.spark.read.parquet(
-                f"{self._index_root}/stats/term_stats").cache()
-            self.term_stats.count()
+            if self._bucketed_tables is not None:
+                # catalog table, NOT .cache()d: caching re-partitions the
+                # scan and would discard the bucketed output partitioning
+                # that makes term joins exchange-free
+                self.term_stats = self.spark.table(self._bucketed_tables[1])
+            else:
+                self.term_stats = self.spark.read.parquet(
+                    f"{self._index_root}/stats/term_stats").cache()
+                self.term_stats.count()
         return self.term_stats
 
     def _ensure_tf(self) -> None:
         if not hasattr(self, "tf"):
-            self.tf = self.spark.read.parquet(
-                f"{self._index_root}/term_doc_tf/data").cache()
-            self.tf.count()
+            if self._bucketed_tables is not None:
+                self.tf = self.spark.table(self._bucketed_tables[0])
+            else:
+                self.tf = self.spark.read.parquet(
+                    f"{self._index_root}/term_doc_tf/data").cache()
+                self.tf.count()
             self._ensure_term_stats()
 
     def search_batch(self, queries: tuple[Query, ...],
