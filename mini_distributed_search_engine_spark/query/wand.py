@@ -194,7 +194,8 @@ def _in_sorted(docs: np.ndarray, allowed: np.ndarray) -> np.ndarray:
 
 def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 n_docs: int, avgdl: float, round_scores: int | None,
-                conjunctive: bool = False, filtered: bool = False):
+                conjunctive: bool = False, filtered: bool = False,
+                eager_decode: bool = False):
     """applyInPandas fn: one doc-shard's segments -> per-query top-k
     candidates. queries_meta: (query_id, terms, k); idf comes from the
     segments' stored global_df. ``conjunctive=True`` = AND semantics:
@@ -215,6 +216,13 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
         segs: dict[str, _Seg] = {}
         for r in pdf.itertuples(index=False):
             segs[r.term] = _Seg(r, n_docs, avgdl)
+        if eager_decode:
+            # A/B knob (tools/wand_ab.py): decode every selected segment up
+            # front — disables lazy block decode AND block-max pruning (the
+            # `_full is None` guard), isolating the offset path's overhead
+            # on corpora where pruning is inert (near-constant dl)
+            for s in segs.values():
+                s.full()
         out_q, out_d, out_s = [], [], []
         for query_id, qterms, k in queries_meta:
             terms = [(t, segs[t]) for t in qterms if t in segs]
@@ -348,7 +356,8 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
               round_scores: int | None = 6,
               corpus_stats: tuple[int, float] | None = None,
               conjunctive: bool = False,
-              allowed_docs: DataFrame | None = None) -> DataFrame:
+              allowed_docs: DataFrame | None = None,
+              eager_decode: bool = False) -> DataFrame:
     """Exact BM25 top-k via per-shard MaxScore over the packed index.
 
     Output schema identical to `bm25.bm25_topk`:
@@ -387,7 +396,8 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
 
     fn = _shard_topk(queries_meta, n_docs, avgdl, round_scores,
                      conjunctive=conjunctive,
-                     filtered=allowed_docs is not None)
+                     filtered=allowed_docs is not None,
+                     eager_decode=eager_decode)
 
     if allowed_docs is not None:
         # Per-shard doc lower bounds: tiny (one row per shard after the agg
