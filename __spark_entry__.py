@@ -318,7 +318,12 @@ def _streaming_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         indexer = StreamingIndexer(spark, str(Path(root) / "idx"),
                                    shard_span=128)
         q = indexer.start(read_transcript_stream(spark, str(src)))
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            # slow-VM drain overran: stop the writer BEFORE compact/read
+            # (single-writer contract) and fail loudly rather than return
+            # a partial index
+            q.stop()
+            raise RuntimeError("streaming drain did not finish in 300s")
         indexer.compact()
         rows = unpack_to_rows(indexer.packed())
         # localize (sf0.01-scale result) so the scratch root can be removed

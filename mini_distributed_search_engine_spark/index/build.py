@@ -271,7 +271,7 @@ def register_bucketed(spark, path: str) -> list[str]:
     # simpleString grammar (nested array/struct types allowed, but only
     # from the type alphabet); location: no quotes/backslashes.
     _ident = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
-    _type = _re.compile(r"[a-z0-9_<>,() ]+")
+    _type = _re.compile(r"[a-z0-9_<>,(): ]+")   # ':' for struct<a:int> simpleStrings
     if not isinstance(desc.get("buckets"), int) or desc["buckets"] <= 0:
         raise ValueError(f"unsafe bucket count: {desc.get('buckets')!r}")
     names = []

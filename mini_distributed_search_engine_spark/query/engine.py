@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .bm25 import Query, bm25_topk, bm25_topk_conjunctive
 from .phrase import phrase_match
-from .wand import wand_topk
+from .wand import compute_shard_bounds, wand_topk
 
 
 class SearchEngine:
@@ -57,6 +57,11 @@ class SearchEngine:
             self.packed = (spark.read.parquet(f"{index_root}/merged/data")
                            .repartition(n, "shard_id").cache())
             self.packed.count()
+            # per-shard doc lower bounds, warmed once: filtered queries
+            # then skip the blocking bounds job (wand.compute_shard_bounds
+            # note) — one metadata-scale collect here instead of one per
+            # role-filtered request
+            self._shard_bounds = compute_shard_bounds(self.packed)
         self.docs = spark.read.parquet(f"{index_root}/docs/data")
         self._index_root = index_root
         self._positions: DataFrame | None = None
@@ -105,7 +110,8 @@ class SearchEngine:
                                 queries=queries,
                                 corpus_stats=self._corpus_stats,
                                 conjunctive=conjunctive,
-                                allowed_docs=allowed)
+                                allowed_docs=allowed,
+                                shard_bounds=self._shard_bounds)
             elif conjunctive:
                 raise ValueError(
                     "role filter with mode='and' needs the packed index")

@@ -59,6 +59,24 @@ def _fuse(spark: SparkSession, b: DataFrame, c: DataFrame,
                     "doc_id", "rrf"))
 
 
+def _hybrid(spark: SparkSession, term_doc_tf: DataFrame,
+            term_stats: DataFrame, doc_stats: DataFrame,
+            embeddings: DataFrame, semantic_leg,
+            pairs: tuple[tuple[str, str, int], ...],
+            k: int, k_each: int, rrf_k: int) -> DataFrame:
+    """Shared wiring for both hybrids: BM25 lexical leg + the given
+    semantic-leg callable (embeddings, query_ids, k) -> (query_vec_id,
+    rank, vec_id, ...), fused with RRF. One implementation so the legs
+    can never silently diverge (the oracle side mirrors this with
+    sql_hybrid_topk(ann=...))."""
+    texts = tuple(Query(qid, text, k=k_each) for qid, text, _ in pairs)
+    b = (bm25_topk(spark, term_doc_tf, term_stats, doc_stats, queries=texts)
+         .select("query_id", "doc_id", "rank"))
+    c = semantic_leg(embeddings,
+                     query_ids=tuple(v for _, _, v in pairs), k=k_each)
+    return _fuse(spark, b, c, pairs, k, rrf_k)
+
+
 def hybrid_topk(spark: SparkSession, term_doc_tf: DataFrame,
                 term_stats: DataFrame, doc_stats: DataFrame,
                 embeddings: DataFrame,
@@ -69,12 +87,8 @@ def hybrid_topk(spark: SparkSession, term_doc_tf: DataFrame,
     EXACT cosine top-k_each per hybrid query. The exact semantic leg is
     O(corpus) per query — the correctness baseline and batch one-pass
     shape; `hybrid_ann_topk` below is the serving path."""
-    texts = tuple(Query(qid, text, k=k_each) for qid, text, _ in pairs)
-    b = (bm25_topk(spark, term_doc_tf, term_stats, doc_stats, queries=texts)
-         .select("query_id", "doc_id", "rank"))
-    c = cosine_topk(embeddings,
-                    query_ids=tuple(v for _, _, v in pairs), k=k_each)
-    return _fuse(spark, b, c, pairs, k, rrf_k)
+    return _hybrid(spark, term_doc_tf, term_stats, doc_stats, embeddings,
+                   cosine_topk, pairs, k, k_each, rrf_k)
 
 
 def hybrid_ann_topk(spark: SparkSession, term_doc_tf: DataFrame,
@@ -91,9 +105,5 @@ def hybrid_ann_topk(spark: SparkSession, term_doc_tf: DataFrame,
     so it carries its own oracle (the IVF CTEs nested in place of the
     exact leg); recall vs the exact-leg hybrid is pytest-bounded."""
     from ..functions.similarity import ivf_ann_topk
-    texts = tuple(Query(qid, text, k=k_each) for qid, text, _ in pairs)
-    b = (bm25_topk(spark, term_doc_tf, term_stats, doc_stats, queries=texts)
-         .select("query_id", "doc_id", "rank"))
-    c = ivf_ann_topk(embeddings,
-                     query_ids=tuple(v for _, _, v in pairs), k=k_each)
-    return _fuse(spark, b, c, pairs, k, rrf_k)
+    return _hybrid(spark, term_doc_tf, term_stats, doc_stats, embeddings,
+                   ivf_ann_topk, pairs, k, k_each, rrf_k)

@@ -192,6 +192,16 @@ def _in_sorted(docs: np.ndarray, allowed: np.ndarray) -> np.ndarray:
     return allowed[pos] == docs
 
 
+def compute_shard_bounds(packed: DataFrame) -> list[tuple[int, int]]:
+    """(lo, shard_id) per shard over the WHOLE packed index — the
+    query-independent input to `wand_topk(shard_bounds=...)`. One
+    metadata-scale job (a row per shard); compute once at engine warmup,
+    reuse on every filtered query."""
+    return sorted((int(r["lo"]), int(r["shard_id"])) for r in
+                  packed.groupBy("shard_id")
+                  .agg(F.min("first_doc").alias("lo")).collect())
+
+
 def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 n_docs: int, avgdl: float, round_scores: int | None,
                 conjunctive: bool = False, filtered: bool = False,
@@ -357,6 +367,7 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
               corpus_stats: tuple[int, float] | None = None,
               conjunctive: bool = False,
               allowed_docs: DataFrame | None = None,
+              shard_bounds: list[tuple[int, int]] | None = None,
               eager_decode: bool = False) -> DataFrame:
     """Exact BM25 top-k via per-shard MaxScore over the packed index.
 
@@ -406,9 +417,15 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
         # lives in some selected segment, hence >= its shard's min first_doc
         # and (doc ranges being disjoint and ordered by shard_id) < the next
         # shard's — searchsorted over the sorted lower bounds is exact.
-        bounds = sorted((int(r["lo"]), int(r["shard_id"])) for r in
-                        sel.groupBy("shard_id")
-                        .agg(F.min("first_doc").alias("lo")).collect())
+        # ``shard_bounds`` (from :func:`compute_shard_bounds` at engine
+        # warmup) skips this blocking driver job on the serving path; the
+        # all-shard bounds are query-independent and remain exact — a doc
+        # assigned to a shard with no selected segments lands in a
+        # right-only cogroup, whose empty segment side scores nothing.
+        bounds = (sorted(shard_bounds) if shard_bounds is not None else
+                  sorted((int(r["lo"]), int(r["shard_id"])) for r in
+                         sel.groupBy("shard_id")
+                         .agg(F.min("first_doc").alias("lo")).collect()))
         los = np.array([lo for lo, _ in bounds], dtype=np.int64)
         sids = np.array([s for _, s in bounds], dtype=np.int32)
 

@@ -224,7 +224,8 @@ def test_hybrid_ann_recall_vs_exact(spark):
     """The IVF-leg hybrid must agree with the exact-leg hybrid on most of
     the fused top-k (ANN recall flows through the fusion): per query,
     >= 60% of the exact hybrid's top-10 docs also appear in the ANN
-    hybrid's top-10, and the lexical-only contribution is identical."""
+    hybrid's top-10 (the lexical leg is shared code — `hybrid._hybrid` —
+    so only the semantic leg can move the fusion)."""
     import __spark_entry__ as E
     qs = E.queries()
     sf = "/root/testdata/sf0.001"
