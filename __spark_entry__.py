@@ -446,6 +446,39 @@ def _doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.doc_keywords(idx.term_doc_tf, idx.term_stats, n_docs)
 
 
+def _doc_keywords_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same keywords fixpoint and oracle as `doc_keywords`, computed over
+    the doc_id-BUCKETED at-rest layout (`write_index_bucketed(...,
+    with_doc_bucketed=True)`): the per-doc top-n window then plans with
+    ZERO doc_id exchange — the O(postings) re-shuffle VERDICT r3 flagged
+    in front of every per-doc window disappears at write time
+    (plan-asserted in tests/test_bucketed.py). The layout changes the
+    shuffle count, not the answer."""
+    import os
+    import shutil
+    import tempfile
+    from mini_distributed_search_engine_spark.index.build import (
+        write_index_bucketed)
+    idx = _index(spark, sf_dir, stem=True)
+    n_docs = int(idx.doc_stats.collect()[0]["n_docs"])
+    root = tempfile.mkdtemp(prefix="mdse_kw_bucketed_")
+    prefix = f"kwb_{os.getpid()}"       # unique per process: parallel
+    names = ()                          # correctness runs share no catalog
+    try:
+        names = write_index_bucketed(idx.term_doc_tf, idx.term_stats,
+                                     prefix, root, buckets=8,
+                                     with_doc_bucketed=True)
+        tf_by_doc = spark.table(f"{prefix}_term_doc_tf_by_doc")
+        out = TS.doc_keywords(tf_by_doc,
+                              F.broadcast(spark.table(f"{prefix}_term_stats")),
+                              n_docs)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _related_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PMI co-occurrence over per-doc keyword sets — related-term
     discovery with pair fan-out capped at C(topn,2) per doc."""
@@ -513,15 +546,18 @@ _R4_WINDOW = (
     "flame_save_roundtrip", "dedup_minhash_sigs", "dedup_ngram_jaccard",
     "dedup_simhash", "embed_cosine_topk", "embed_lsh_ann_topk",
     "embed_near_dup_lsh",
-    # 28-31: new this round
+    # 28-32: new this round
     "bm25_topk_filtered_wand", "hybrid_rrf_ann_topk",
     "streaming_index_roundtrip", "dedup_components_star_deep",
-    # 32-37: implementation/oracle changed this round
+    "doc_keywords_bucketed",
+    # 33-38: implementation/oracle changed this round
     "bm25_topk_wand", "bm25_topk_and_wand", "bm25_topk_filtered",
     "hybrid_rrf_topk", "pagerank_fixed", "pagerank_converged",
-    # 38-50: core-pipeline fill
+    # 39-50: core-pipeline fill (bm25_topk_collapsed cedes its slot to
+    # doc_keywords_bucketed — it is triple-green and a derived view of
+    # the hydrated entry, which stays)
     "transcripts", "docs_stable_ids", "term_doc_tf", "term_stats",
-    "doc_stats", "bm25_topk", "bm25_topk_hydrated", "bm25_topk_collapsed",
+    "doc_stats", "bm25_topk", "bm25_topk_hydrated",
     "term_positions", "phrase_match", "packed_roundtrip",
     "packed_incremental_roundtrip", "index_lineage",
 )
@@ -562,6 +598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semi-structured JSON column extraction (props is a JSON string)
         "events_json_agg": _events_json_agg,
         "doc_keywords": _doc_keywords,
+        # NEW round 4: doc-bucketed layout twin (zero-exchange window)
+        "doc_keywords_bucketed": _doc_keywords_bucketed,
         "related_terms": _related_terms,
         "text_token_counts": lambda s, d: TS.token_counts(_docs(s, d)),
         "text_unigram_logppl": lambda s, d: TS.unigram_logppl(
@@ -700,6 +738,7 @@ def oracle_sql() -> dict[str, str]:
             "round(avg(k), 6) AS avg_k, max(k) AS max_k "
             "FROM e GROUP BY event_type"),
         "doc_keywords": O.sql_doc_keywords(stem=True),
+        "doc_keywords_bucketed": O.sql_doc_keywords(stem=True),
         "related_terms": O.sql_related_terms(stem=True),
         "text_token_counts": OM.sql_token_counts(),
         "text_unigram_logppl": O.sql_unigram_logppl(stem=True),

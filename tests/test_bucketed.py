@@ -69,3 +69,42 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         for name in (tf_tbl, ts_tbl):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         idx.unpersist()
+
+
+def test_doc_bucketed_window_has_no_exchange(spark, tmp_path):
+    """The doc_id-bucketed TF table: doc_keywords' per-doc top-n window
+    must plan with ZERO Exchange (the O(postings) doc_id re-shuffle the
+    plain layout pays), and the keywords must equal the plain path's."""
+    from mini_distributed_search_engine_spark.functions.textstats import (
+        doc_keywords)
+    idx = build_index(synthesize_transcripts(spark, 200), stem=True)
+    names = write_index_bucketed(
+        idx.term_doc_tf, idx.term_stats, "t_docbucket", str(tmp_path),
+        buckets=8, with_doc_bucketed=True)
+    try:
+        assert names[-1] == "t_docbucket_term_doc_tf_by_doc"
+        n_docs = int(idx.doc_stats.collect()[0]["n_docs"])
+        tf_by_doc = spark.table(names[-1])
+        ts = F.broadcast(spark.table("t_docbucket_term_stats"))
+        out = doc_keywords(tf_by_doc, ts, n_docs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # BroadcastExchange (term_stats) is fine; no SHUFFLE exchange —
+        # in particular none on doc_id in front of the window
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        got = sorted(map(tuple, out.collect()))
+        want = sorted(map(tuple, doc_keywords(
+            idx.term_doc_tf, idx.term_stats, n_docs).collect()))
+        assert got == want and len(got) > 0
+        # cross-session story: re-register from the descriptor (now with a
+        # per-table clustered_by) and re-check the zero-exchange plan
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        assert set(register_bucketed(spark, str(tmp_path))) == set(names)
+        out2 = doc_keywords(spark.table(names[-1]), ts, n_docs)
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan2, plan2
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        idx.unpersist()
