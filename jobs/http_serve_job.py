@@ -40,8 +40,8 @@ from mini_distributed_search_engine_spark.session import get_spark
 def _row_json(r) -> dict:
     d = r.asDict()
     return {k: d[k] for k in
-            ("rank", "doc_id", "score", "n_occ", "conv_id", "turn_idx",
-             "role", "snippet") if k in d}
+            ("rank", "doc_id", "score", "rrf", "n_occ", "conv_id",
+             "turn_idx", "role", "snippet") if k in d}
 
 
 def _pos_int(q: dict, key: str, default: int, cap: int = 10_000) -> int:
@@ -104,6 +104,23 @@ def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
                     self._record(took)
                     return self._json(200, {"rows": [_row_json(r) for r in rows],
                                             "took_sec": round(took, 4)})
+                if u.path == "/hybrid":
+                    if "q" not in q or "vec" not in q:
+                        return self._json(
+                            400, {"err": "q and vec parameters required "
+                                         "(vec = query embedding id from "
+                                         "the upstream encoder)"})
+                    if not hasattr(engine, "_ivf"):
+                        return self._json(
+                            400, {"err": "hybrid leg not warmed: start "
+                                         "with --embeddings/--ivf-root"})
+                    rows = engine.search_hybrid(
+                        q["q"], query_vec_id=int(q["vec"]),
+                        k=_pos_int(q, "k", 10))
+                    took = time.perf_counter() - t0
+                    self._record(took)
+                    return self._json(200, {"rows": [_row_json(r) for r in rows],
+                                            "took_sec": round(took, 4)})
                 if u.path == "/words":
                     terms = engine.suggest(q.get("prefix", ""),
                                            n=_pos_int(q, "n", 10))
@@ -148,13 +165,23 @@ def main() -> None:
                     help="root of a write_index_bucketed layout: the "
                          "exhaustive/analytics legs read the term-bucketed "
                          "catalog tables (zero-exchange term joins)")
+    ap.add_argument("--embeddings", default=None, metavar="PARQUET",
+                    help="embeddings table (vec_id, embedding) aligned to "
+                         "doc ids — enables the /hybrid route")
+    ap.add_argument("--ivf-root", default=None, metavar="PATH",
+                    help="centroid_id-partitioned IVF layout root (written "
+                         "at warmup if absent; requires --embeddings)")
     args = ap.parse_args()
+    if bool(args.embeddings) != bool(args.ivf_root):
+        ap.error("--embeddings and --ivf-root go together")
 
     spark = get_spark("mdse-http-serve")
     t0 = time.perf_counter()
     engine = SearchEngine(spark, args.index, use_packed=not args.exhaustive,
                           bucketed_path=args.bucketed)
     engine.search("warmup probe", k=1)    # prime codegen + the join path
+    if args.embeddings:
+        engine.warm_hybrid(args.embeddings, args.ivf_root)
     srv = serve_http(engine, args.port)
     print(f"ready\tport={srv.server_address[1]}\t"
           f"warmup={round(time.perf_counter() - t0, 2)}s", flush=True)

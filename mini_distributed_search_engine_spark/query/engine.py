@@ -146,6 +146,61 @@ class SearchEngine:
                                mode=mode, role=role)
         return df.orderBy("rank").collect()
 
+    def warm_hybrid(self, embeddings_path: str, ivf_root: str,
+                    n_centroids: int = 8, n_probe: int = 2) -> None:
+        """Warm the semantic leg for `search_hybrid`: cache the embeddings
+        table, resolve the IVF centroids ONCE (localized — k x dim doubles),
+        and materialize the centroid_id-partitioned inverted lists at
+        ``ivf_root`` unless already present (the at-rest layout whose probe
+        scans Catalyst directory-prunes). After this, a hybrid request is
+        two small warm jobs (probe-pruned semantic scan + packed-WAND
+        lexical scan) plus the O(candidates) fusion."""
+        import os
+        from ..functions import similarity as S
+        emb = self.spark.read.parquet(embeddings_path)
+        self._emb = emb.cache()
+        self._emb.count()
+        cents = S._resolve_centroids(self._emb, n_centroids, None)
+        rows = [(int(r["centroid_id"]), [float(x) for x in r["c_emb"]])
+                for r in cents.collect()]
+        self._cents = self.spark.createDataFrame(
+            rows, "centroid_id int, c_emb array<double>")
+        if not os.path.isdir(ivf_root):
+            S.ivf_write_partitioned(
+                S.ivf_assign(self._emb, n_centroids, self._cents), ivf_root)
+        self._ivf = (ivf_root, n_centroids, n_probe)
+
+    def search_hybrid(self, text: str, query_vec_id: int, k: int = 10,
+                      k_each: int = 20, hydrate: bool = True) -> list:
+        """Warm hybrid retrieval: packed-WAND BM25 lexical candidates +
+        IVF-ANN semantic candidates (the query's embedding looked up by
+        ``query_vec_id`` — embeddings come from an upstream encoder, so a
+        serving text has a precomputed vector id), fused with RRF. Same
+        fusion as `hybrid.hybrid_ann_topk` (shared `_fuse`); requires
+        `warm_hybrid` first."""
+        if not hasattr(self, "_ivf"):
+            raise RuntimeError("call warm_hybrid(embeddings_path, ivf_root) "
+                               "before search_hybrid")
+        from ..functions import similarity as S
+        from .hybrid import RRF_K, _fuse
+        ivf_root, n_centroids, n_probe = self._ivf
+        b = (self.search_batch((Query("q", text, k=k_each),), hydrate=False)
+             .select("query_id", "doc_id", "rank"))
+        c = S.ivf_partitioned_topk(self.spark, ivf_root, self._emb,
+                                   query_ids=(query_vec_id,), k=k_each,
+                                   n_centroids=n_centroids, n_probe=n_probe,
+                                   centroids=self._cents)
+        out = _fuse(self.spark, b, c, (("q", text, query_vec_id),),
+                    k, RRF_K)
+        if hydrate:
+            from pyspark.sql import functions as F
+            meta = self.docs.select("doc_id", "conv_id", "turn_idx", "role",
+                                    F.substring("text", 1, 80).alias("snippet"))
+            out = out.join(meta, "doc_id").select(
+                "query_id", "rank", "doc_id", "rrf",
+                "conv_id", "turn_idx", "role", "snippet")
+        return out.orderBy("rank").collect()
+
     def _positions_df(self) -> DataFrame:
         """Positional index: the pipeline's committed 'positions' stage if
         present, else built once from the doc store and cached."""

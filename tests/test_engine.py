@@ -195,3 +195,40 @@ def test_engine_bucketed_mode_zero_exchange(spark, index_root, tmp_path):
     finally:
         for n in names:
             spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def _fake_embeddings(spark, n: int, path: str, dim: int = 8):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(dim)])
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_engine_hybrid_matches_batch_hybrid(spark, index_root, tmp_path):
+    """The WARM hybrid serving path (packed-WAND lexical + partitioned-IVF
+    semantic, fused per request) must produce exactly the batch
+    `hybrid_ann_topk` fusion on the same corpus — the serving path changes
+    the physical plan, not the candidates or the RRF arithmetic."""
+    from mini_distributed_search_engine_spark.query.hybrid import (
+        hybrid_ann_topk)
+    emb_path = str(tmp_path / "emb")
+    emb = _fake_embeddings(spark, 200, emb_path)
+    eng = SearchEngine(spark, index_root)
+    eng.warm_hybrid(emb_path, str(tmp_path / "ivf"))
+    got = eng.search_hybrid("apple banana", query_vec_id=3, k=10,
+                            hydrate=False)
+    idx = build_index(
+        spark.createDataFrame(synthesize_transcripts_pdf(50, seed=21)))
+    want = hybrid_ann_topk(spark, idx.term_doc_tf, idx.term_stats,
+                           idx.doc_stats, emb,
+                           pairs=(("q", "apple banana", 3),), k=10).collect()
+    idx.unpersist()
+    g = [(r["rank"], r["doc_id"], r["rrf"]) for r in got]
+    w = sorted((r["rank"], r["doc_id"], r["rrf"]) for r in want)
+    assert g == w and len(g) > 0
+    # hydrated variant carries display metadata
+    hyd = eng.search_hybrid("apple banana", query_vec_id=3, k=5)
+    assert hyd and {"conv_id", "snippet", "rrf"} <= set(hyd[0].asDict())
