@@ -137,7 +137,11 @@ def main() -> None:
     packed_r = (spark.read.parquet(str(out_dir / "packed"))
                 .repartition(cpus, "shard_id").cache())
     packed_r.count()
-    query_runs = max(1, int(os.environ.get("MDSE_BENCH_QUERY_RUNS", "3")))
+    # min-of-5 (was 3): the query section is seconds-cheap but the most
+    # noise-exposed — single contended runs measured 2-5x quiet-window
+    # values on this VM, and two extra samples per (query, path) cost
+    # ~30s total against that variance
+    query_runs = max(1, int(os.environ.get("MDSE_BENCH_QUERY_RUNS", "5")))
     per_query: dict[str, float] = {}
     per_query_wand: dict[str, float] = {}
     for q in BENCH_QUERIES:       # min-of-N per query, same noise shield
