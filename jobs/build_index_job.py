@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--positions", action="store_true",
                     help="also build the positional index stage (phrase search)")
+    ap.add_argument("--doc-bucketed", action="store_true",
+                    help="with --bucketed: also write term_doc_tf bucketed "
+                         "by doc_id (zero-exchange per-doc windows for the "
+                         "keywords/perplexity analytics family)")
     ap.add_argument("--bucketed", type=int, default=0, metavar="BUCKETS",
                     help="additionally write term_doc_tf/term_stats as "
                          "term-bucketed tables under OUT/bucketed; a later "
@@ -69,10 +73,11 @@ def main() -> None:
         # bucketed — no recomputation, just a bucketed rewrite
         from mini_distributed_search_engine_spark.index.build import (
             write_index_bucketed)
-        tf_tbl, ts_tbl = write_index_bucketed(
+        names = write_index_bucketed(
             pipe.read("term_doc_tf", "data"), pipe.read("stats", "term_stats"),
-            "mdse", f"{args.out}/bucketed", buckets=args.bucketed)
-        print(f"bucketed: {tf_tbl}, {ts_tbl} ({args.bucketed} buckets)")
+            "mdse", f"{args.out}/bucketed", buckets=args.bucketed,
+            with_doc_bucketed=args.doc_bucketed)
+        print(f"bucketed: {', '.join(names)} ({args.bucketed} buckets)")
 
 
 if __name__ == "__main__":
