@@ -165,6 +165,10 @@ def main() -> None:
                     help="root of a write_index_bucketed layout: the "
                          "exhaustive/analytics legs read the term-bucketed "
                          "catalog tables (zero-exchange term joins)")
+    ap.add_argument("--packed-bucketed", default=None, metavar="PATH",
+                    help="root of a write_packed_bucketed layout: the "
+                         "packed cache is the shard-bucketed scan as-is "
+                         "(no warmup repartition shuffle)")
     ap.add_argument("--embeddings", default=None, metavar="PARQUET",
                     help="embeddings table (vec_id, embedding) aligned to "
                          "doc ids — enables the /hybrid route")
@@ -178,7 +182,8 @@ def main() -> None:
     spark = get_spark("mdse-http-serve")
     t0 = time.perf_counter()
     engine = SearchEngine(spark, args.index, use_packed=not args.exhaustive,
-                          bucketed_path=args.bucketed)
+                          bucketed_path=args.bucketed,
+                          packed_bucketed_path=args.packed_bucketed)
     engine.search("warmup probe", k=1)    # prime codegen + the join path
     if args.embeddings:
         engine.warm_hybrid(args.embeddings, args.ivf_root)

@@ -113,12 +113,17 @@ def main() -> None:
                     help="root of a write_index_bucketed layout: the "
                          "exhaustive/analytics legs read the term-bucketed "
                          "catalog tables (zero-exchange term joins)")
+    ap.add_argument("--packed-bucketed", default=None, metavar="PATH",
+                    help="root of a write_packed_bucketed layout: the "
+                         "packed cache is the shard-bucketed scan as-is "
+                         "(no warmup repartition shuffle)")
     args = ap.parse_args()
 
     spark = get_spark("mdse-serve")
     t0 = time.perf_counter()
     engine = SearchEngine(spark, args.index, use_packed=not args.exhaustive,
-                          bucketed_path=args.bucketed)
+                          bucketed_path=args.bucketed,
+                          packed_bucketed_path=args.packed_bucketed)
     # prime codegen/Arrow workers so the FIRST user request isn't the one
     # paying JIT cost (the reference Searcher warms its IDF cache the same
     # way at startup)

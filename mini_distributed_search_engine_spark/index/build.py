@@ -276,6 +276,44 @@ def write_index_bucketed(term_doc_tf: DataFrame, term_stats: DataFrame,
     return tuple(name for name, _, _ in specs)
 
 
+def write_packed_bucketed(packed: DataFrame, path: str,
+                          buckets: int = 32,
+                          table_name: str = "mdse_packed") -> str:
+    """Materialize the MERGED packed segments as a SHARD_ID-bucketed
+    catalog table (own ``_bucketed.json`` under ``path``, re-registered by
+    :func:`register_bucketed`). Why: `SearchEngine` warms the packed index
+    with `repartition(n, "shard_id").cache()` — a one-time O(index)
+    shuffle per engine start, real money at 100 TB. A shard-bucketed
+    at-rest layout carries that clustering through BOTH the file scan and
+    the InMemoryRelation (probe-verified: cached bucketed scans keep their
+    output partitioning), so the per-query `groupBy(shard_id)` WAND stage
+    is exchange-free with NO warmup shuffle at all — the engine just
+    caches the bucketed scan as-is."""
+    import json
+    import re
+    from pathlib import Path
+
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_name):
+        raise ValueError(f"table_name must be a SQL identifier: "
+                         f"{table_name!r}")
+    spark = packed.sparkSession
+    (packed.repartition(buckets, F.col("shard_id"))
+     .write.mode("overwrite")
+     .option("path", f"{path}/{table_name}")
+     .bucketBy(buckets, "shard_id").sortBy("shard_id", "term")
+     .saveAsTable(table_name))
+    desc = {"buckets": buckets, "tables": {table_name: {
+        "location": f"{path}/{table_name}",
+        "schema": [(f.name, f.dataType.simpleString())
+                   for f in spark.table(table_name).schema.fields],
+        "clustered_by": ["shard_id"],
+        "sorted_by": ["shard_id", "term"],
+    }}}
+    Path(path).mkdir(parents=True, exist_ok=True)
+    (Path(path) / "_bucketed.json").write_text(json.dumps(desc, indent=1))
+    return table_name
+
+
 def register_bucketed(spark, path: str) -> list[str]:
     """Re-register the bucketed tables written by
     :func:`write_index_bucketed` in THIS session's catalog (the writer's

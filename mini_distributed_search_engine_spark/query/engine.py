@@ -25,7 +25,8 @@ from .wand import compute_shard_bounds, wand_topk
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_root: str,
                  use_packed: bool = True,
-                 bucketed_path: str | None = None):
+                 bucketed_path: str | None = None,
+                 packed_bucketed_path: str | None = None):
         """``bucketed_path``: root of a `write_index_bucketed` layout. When
         given, the engine's term_doc_tf / term_stats come from the TERM-
         BUCKETED catalog tables (re-registered in this session from the
@@ -33,7 +34,14 @@ class SearchEngine:
         between them — IDF attach on an unpruned term set, posting-vs-
         stats audits, tfidf over the whole vocabulary — plans with ZERO
         exchange on either side (test-asserted). The per-query packed WAND
-        path is unaffected; this feeds the exhaustive/analytics legs."""
+        path is unaffected; this feeds the exhaustive/analytics legs.
+
+        ``packed_bucketed_path``: root of a `write_packed_bucketed` layout.
+        The packed cache is then the shard_id-bucketed scan AS-IS — no
+        warmup `repartition(shard_id)` (a one-time O(index) shuffle per
+        engine start otherwise); bucketing carries through the
+        InMemoryRelation, so per-query WAND stays exchange-free too
+        (both plan-asserted)."""
         self.spark = spark
         self.use_packed = use_packed
         self._bucketed_tables: tuple[str, str] | None = None
@@ -52,10 +60,17 @@ class SearchEngine:
             # groupBy(shard_id).applyInPandas then needs NO exchange (the
             # cached partitioning already satisfies its clustered
             # distribution), so a warm query is one shuffle-free scan stage
-            # plus the tiny global-rank stage.
-            n = spark.sparkContext.defaultParallelism
-            self.packed = (spark.read.parquet(f"{index_root}/merged/data")
-                           .repartition(n, "shard_id").cache())
+            # plus the tiny global-rank stage. With a shard-bucketed
+            # at-rest layout the warmup repartition shuffle goes away too.
+            if packed_bucketed_path is not None:
+                from ..index.build import register_bucketed
+                names = register_bucketed(spark, packed_bucketed_path)
+                self.packed = spark.table(names[0]).cache()
+            else:
+                n = spark.sparkContext.defaultParallelism
+                self.packed = (spark.read
+                               .parquet(f"{index_root}/merged/data")
+                               .repartition(n, "shard_id").cache())
             self.packed.count()
             # per-shard doc lower bounds, warmed once: filtered queries
             # then skip the blocking bounds job (wand.compute_shard_bounds

@@ -232,3 +232,41 @@ def test_engine_hybrid_matches_batch_hybrid(spark, index_root, tmp_path):
     # hydrated variant carries display metadata
     hyd = eng.search_hybrid("apple banana", query_vec_id=3, k=5)
     assert hyd and {"conv_id", "snippet", "rrf"} <= set(hyd[0].asDict())
+
+
+def test_engine_packed_bucketed_no_warmup_shuffle(spark, index_root,
+                                                  tmp_path):
+    """write_packed_bucketed + SearchEngine(packed_bucketed_path=...):
+    rank parity with the plain engine, the cached packed frame is the
+    bucketed scan with NO exchange anywhere in its plan (the warmup
+    repartition shuffle is gone), and the per-query WAND stage stays
+    exchange-free on shard_id through the InMemoryRelation."""
+    from mini_distributed_search_engine_spark.index.build import (
+        write_packed_bucketed)
+    packed = spark.read.parquet(f"{index_root}/merged/data")
+    name = write_packed_bucketed(packed, str(tmp_path), buckets=8,
+                                 table_name="t_packed_bucketed")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")   # fresh-session story
+        eng = SearchEngine(spark, index_root,
+                           packed_bucketed_path=str(tmp_path))
+        cache_plan = eng.packed._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in cache_plan, cache_plan
+        assert "Bucketed: true" in cache_plan, cache_plan
+        qs = (Query("a", "apple banana"), Query("b", "spark index", k=25))
+        qdf = eng.search_batch(qs)
+        qplan = qdf._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(shard_id" not in qplan, qplan
+        plain = SearchEngine(spark, index_root)
+        a = sorted((r["query_id"], r["rank"], r["doc_id"],
+                    round(r["score"], 6)) for r in qdf.collect())
+        b = sorted((r["query_id"], r["rank"], r["doc_id"],
+                    round(r["score"], 6))
+                   for r in plain.search_batch(qs).collect())
+        assert a == b and len(a) > 0
+        # the filtered path works over the bucketed cache too
+        rows = eng.search("apple banana", k=20, role="user")
+        assert rows and all(r["role"] == "user" for r in rows)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
