@@ -12,6 +12,7 @@ the infrastructure SURVEY §7 absorbs into commodity layers.
 Routes (JSON replies):
   GET /search?q=<text>&k=10&mode=or|and[&role=<role>]  ranked BM25
   GET /phrase?q=<text>&k=10                            exact phrase match
+  GET /hybrid?q=<text>&vec=<id>&k=10                   BM25 + IVF-ANN RRF
   GET /words?prefix=<p>&n=10                           autocomplete by df
   GET /stats                                           corpus stats + p50
 
