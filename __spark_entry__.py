@@ -458,24 +458,23 @@ def _doc_keywords_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
     from mini_distributed_search_engine_spark.index.build import (
-        write_index_bucketed)
+        write_tf_doc_bucketed)
     idx = _index(spark, sf_dir, stem=True)
     n_docs = int(idx.doc_stats.collect()[0]["n_docs"])
     root = tempfile.mkdtemp(prefix="mdse_kw_bucketed_")
     prefix = f"kwb_{os.getpid()}"       # unique per process: parallel
-    names = ()                          # correctness runs share no catalog
+    name = None                         # correctness runs share no catalog
     try:
-        names = write_index_bucketed(idx.term_doc_tf, idx.term_stats,
-                                     prefix, root, buckets=8,
-                                     with_doc_bucketed=True)
-        tf_by_doc = spark.table(f"{prefix}_term_doc_tf_by_doc")
-        out = TS.doc_keywords(tf_by_doc,
-                              F.broadcast(spark.table(f"{prefix}_term_stats")),
-                              n_docs)
+        # only the by-doc table: the term-bucketed copies would be pure
+        # write cost here (this query never term-joins the bucketed TF)
+        name = write_tf_doc_bucketed(idx.term_doc_tf, prefix, root,
+                                     buckets=8)
+        out = TS.doc_keywords(spark.table(name),
+                              F.broadcast(idx.term_stats), n_docs)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
-        for n in names:
-            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        if name:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(root, ignore_errors=True)
 
 

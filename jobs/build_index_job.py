@@ -47,6 +47,8 @@ def main() -> None:
                          "the _bucketed.json descriptor and get zero-shuffle "
                          "term joins")
     args = ap.parse_args()
+    if args.doc_bucketed and not args.bucketed:
+        ap.error("--doc-bucketed requires --bucketed BUCKETS")
 
     spark = get_spark("mdse-build")
     if args.documents:

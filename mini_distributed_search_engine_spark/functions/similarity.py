@@ -313,20 +313,26 @@ def ivf_partitioned_topk(spark, path: str, embeddings: DataFrame,
                          query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10,
                          n_centroids: int = N_CENTROIDS,
                          n_probe: int = N_PROBE,
-                         centroids: DataFrame | None = None) -> DataFrame:
+                         centroids: DataFrame | None = None,
+                         corpus_df: DataFrame | None = None) -> DataFrame:
     """`ivf_ann_topk` against the partitioned layout written by
     :func:`ivf_write_partitioned`: probe lists are chosen from the (tiny)
     query set vs the centroids, their ids are collected driver-side (a few
     ints — the same literal-IN prune the BM25 path uses for terms), and the
     corpus scan carries `centroid_id IN (...)` so Catalyst prunes unprobed
     partition directories before any file is opened. Rank/tie-break
-    semantics identical to `ivf_ann_topk` on the same assignment."""
+    semantics identical to `ivf_ann_topk` on the same assignment.
+
+    ``corpus_df``: a pre-resolved ``spark.read.parquet(path)`` frame — a
+    warm server passes one resolved once (`SearchEngine.warm_hybrid`) so
+    per-request calls skip the file-listing/schema-resolution of a fresh
+    read; the literal-IN probe filter partition-prunes it identically."""
     cents = _resolve_centroids(embeddings, n_centroids, centroids)
     probe = _probe_lists(embeddings, query_ids, n_centroids, n_probe, cents)
     probed = sorted({int(r["centroid_id"])
                      for r in probe.select("centroid_id").distinct().collect()})
-    corpus = (spark.read.parquet(path)
-              .where(F.col("centroid_id").isin(probed)))
+    base = corpus_df if corpus_df is not None else spark.read.parquet(path)
+    corpus = base.where(F.col("centroid_id").isin(probed))
     return _rank_probed_candidates(corpus, probe, k)
 
 

@@ -18,6 +18,7 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import re as _re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -221,59 +222,84 @@ def write_index_bucketed(term_doc_tf: DataFrame, term_stats: DataFrame,
     mapInPandas output partitioning is opaque to Catalyst, so only an
     at-rest bucket spec can carry the clustering across sessions).
     """
-    import json
-    import re
-    from pathlib import Path
-
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_prefix):
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_prefix):
         raise ValueError(f"table_prefix must be a SQL identifier: "
                          f"{table_prefix!r}")
-    spark = term_doc_tf.sparkSession
     tf_tbl = f"{table_prefix}_term_doc_tf"
     ts_tbl = f"{table_prefix}_term_stats"
-    # repartition to the bucket count first: without it every input task
-    # opens a writer per bucket it touches (up to tasks x buckets small
-    # files); with it each bucket is exactly one file
-    (term_doc_tf.repartition(buckets, F.col("term"))
-     .write.mode("overwrite")
-     .option("path", f"{path}/{tf_tbl}")
-     .bucketBy(buckets, "term").sortBy("term", "doc_id")
-     .saveAsTable(tf_tbl))
-    (term_stats.repartition(buckets, F.col("term"))
-     .write.mode("overwrite")
-     .option("path", f"{path}/{ts_tbl}")
-     .bucketBy(buckets, "term").sortBy("term")
-     .saveAsTable(ts_tbl))
-    tfd_tbl = f"{table_prefix}_term_doc_tf_by_doc"
-    if with_doc_bucketed:
-        (term_doc_tf.repartition(buckets, F.col("doc_id"))
-         .write.mode("overwrite")
-         .option("path", f"{path}/{tfd_tbl}")
-         .bucketBy(buckets, "doc_id").sortBy("doc_id", "term")
-         .saveAsTable(tfd_tbl))
-    # Descriptor for cross-session re-registration: without a persistent
-    # metastore (this session catalog is in-memory), table METADATA —
-    # including the bucket spec — dies with the session even though the
-    # bucket-named files survive. register_bucketed() rebuilds the
-    # catalog entries from this file in any later session.
-    desc = {"buckets": buckets, "tables": {}}
     specs = [
-        (tf_tbl, ["term"], ["term", "doc_id"]),
-        (ts_tbl, ["term"], ["term"]),
+        (term_doc_tf, tf_tbl, ["term"], ["term", "doc_id"]),
+        (term_stats, ts_tbl, ["term"], ["term"]),
     ]
     if with_doc_bucketed:
-        specs.append((tfd_tbl, ["doc_id"], ["doc_id", "term"]))
-    for name, cluster_cols, sort_cols in specs:
+        specs.append((term_doc_tf, f"{table_prefix}_term_doc_tf_by_doc",
+                      ["doc_id"], ["doc_id", "term"]))
+    for df, name, cluster_by, sort_by in specs:
+        _write_bucketed_table(df, name, path, buckets, cluster_by, sort_by)
+    _merge_descriptor(term_doc_tf.sparkSession, path, buckets,
+                      [s[1:] for s in specs])
+    return tuple(name for _, name, _, _ in specs)
+
+
+def _write_bucketed_table(df: DataFrame, name: str, path: str, buckets: int,
+                          cluster_by: list[str],
+                          sort_by: list[str]) -> None:
+    """One bucketed external table. Repartition to the bucket count first:
+    without it every input task opens a writer per bucket it touches (up
+    to tasks x buckets small files); with it each bucket is one file."""
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
+        raise ValueError(f"table name must be a SQL identifier: {name!r}")
+    (df.repartition(buckets, *[F.col(c) for c in cluster_by])
+     .write.mode("overwrite")
+     .option("path", f"{path}/{name}")
+     .bucketBy(buckets, *cluster_by).sortBy(*sort_by)
+     .saveAsTable(name))
+
+
+def _merge_descriptor(spark, path: str, buckets: int,
+                      specs: list[tuple]) -> None:
+    """Merge table entries into ``path``/_bucketed.json (read-modify-write,
+    NOT overwrite: several layouts — term-bucketed, doc-bucketed,
+    shard-bucketed packed — may share one root, and clobbering the
+    descriptor would silently unregister the others). The descriptor is
+    what lets `register_bucketed` rebuild catalog entries in a later
+    session (the session catalog is in-memory; without a persistent
+    metastore the bucket spec dies with the writer's session). Bucket
+    count is recorded PER TABLE (register_bucketed falls back to the
+    legacy top-level count for old descriptors)."""
+    import json
+    from pathlib import Path
+    p = Path(path) / "_bucketed.json"
+    desc = json.loads(p.read_text()) if p.exists() else {"tables": {}}
+    desc.setdefault("buckets", buckets)   # legacy top-level fallback
+    for name, cluster_by, sort_by in specs:
         desc["tables"][name] = {
             "location": f"{path}/{name}",
             "schema": [(f.name, f.dataType.simpleString())
                        for f in spark.table(name).schema.fields],
-            "clustered_by": cluster_cols,
-            "sorted_by": sort_cols,
+            "clustered_by": list(cluster_by),
+            "sorted_by": list(sort_by),
+            "buckets": buckets,
         }
     Path(path).mkdir(parents=True, exist_ok=True)
-    (Path(path) / "_bucketed.json").write_text(json.dumps(desc, indent=1))
-    return tuple(name for name, _, _ in specs)
+    p.write_text(json.dumps(desc, indent=1))
+
+
+def write_tf_doc_bucketed(term_doc_tf: DataFrame, table_prefix: str,
+                          path: str, buckets: int = 32) -> str:
+    """ONLY the doc_id-bucketed TF table (no term-bucketed copies) — for
+    consumers that want the zero-exchange per-doc window layout without
+    paying the O(postings) term-bucketed write (e.g. the
+    doc_keywords_bucketed gate entry)."""
+    if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_prefix):
+        raise ValueError(f"table_prefix must be a SQL identifier: "
+                         f"{table_prefix!r}")
+    name = f"{table_prefix}_term_doc_tf_by_doc"
+    _write_bucketed_table(term_doc_tf, name, path, buckets,
+                          ["doc_id"], ["doc_id", "term"])
+    _merge_descriptor(term_doc_tf.sparkSession, path, buckets,
+                      [(name, ["doc_id"], ["doc_id", "term"])])
+    return name
 
 
 def write_packed_bucketed(packed: DataFrame, path: str,
@@ -289,28 +315,10 @@ def write_packed_bucketed(packed: DataFrame, path: str,
     output partitioning), so the per-query `groupBy(shard_id)` WAND stage
     is exchange-free with NO warmup shuffle at all — the engine just
     caches the bucketed scan as-is."""
-    import json
-    import re
-    from pathlib import Path
-
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table_name):
-        raise ValueError(f"table_name must be a SQL identifier: "
-                         f"{table_name!r}")
-    spark = packed.sparkSession
-    (packed.repartition(buckets, F.col("shard_id"))
-     .write.mode("overwrite")
-     .option("path", f"{path}/{table_name}")
-     .bucketBy(buckets, "shard_id").sortBy("shard_id", "term")
-     .saveAsTable(table_name))
-    desc = {"buckets": buckets, "tables": {table_name: {
-        "location": f"{path}/{table_name}",
-        "schema": [(f.name, f.dataType.simpleString())
-                   for f in spark.table(table_name).schema.fields],
-        "clustered_by": ["shard_id"],
-        "sorted_by": ["shard_id", "term"],
-    }}}
-    Path(path).mkdir(parents=True, exist_ok=True)
-    (Path(path) / "_bucketed.json").write_text(json.dumps(desc, indent=1))
+    _write_bucketed_table(packed, table_name, path, buckets,
+                          ["shard_id"], ["shard_id", "term"])
+    _merge_descriptor(packed.sparkSession, path, buckets,
+                      [(table_name, ["shard_id"], ["shard_id", "term"])])
     return table_name
 
 
@@ -332,12 +340,13 @@ def register_bucketed(spark, path: str) -> list[str]:
     # from the type alphabet); location: no quotes/backslashes.
     _ident = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
     _type = _re.compile(r"[a-z0-9_<>,(): ]+")   # ':' for struct<a:int> simpleStrings
-    if not isinstance(desc.get("buckets"), int) or desc["buckets"] <= 0:
-        raise ValueError(f"unsafe bucket count: {desc.get('buckets')!r}")
     names = []
     for name, t in desc["tables"].items():
         if not _ident.fullmatch(name):
             raise ValueError(f"unsafe table name in descriptor: {name!r}")
+        buckets = t.get("buckets", desc.get("buckets"))  # legacy top-level
+        if not isinstance(buckets, int) or buckets <= 0:
+            raise ValueError(f"unsafe bucket count for {name}: {buckets!r}")
         for c, dt in t["schema"]:
             if not _ident.fullmatch(c):
                 raise ValueError(f"unsafe column name in {name}: {c!r}")
@@ -353,11 +362,23 @@ def register_bucketed(spark, path: str) -> list[str]:
         cols = ", ".join(f"{c} {dt}" for c, dt in t["schema"])
         sort = ", ".join(t["sorted_by"])
         cluster = ", ".join(cluster_cols)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if spark.catalog.tableExists(name):
+            # Reuse a live entry at the same location instead of
+            # DROP+CREATE: dropping cascades an uncache through Spark,
+            # silently de-warming any OTHER engine's cache built on this
+            # table in the same session. Different location -> recreate.
+            loc = [r["data_type"] for r in
+                   spark.sql(f"DESCRIBE FORMATTED {name}").collect()
+                   if r["col_name"] == "Location"]
+            if loc and loc[0].rstrip("/").endswith(
+                    t["location"].lstrip("./").rstrip("/")):
+                names.append(name)
+                continue
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql(
             f"CREATE TABLE {name} ({cols}) USING parquet "
             f"CLUSTERED BY ({cluster}) SORTED BY ({sort}) "
-            f"INTO {desc['buckets']} BUCKETS "
+            f"INTO {buckets} BUCKETS "
             f"LOCATION '{t['location']}'")
         names.append(name)
     return names

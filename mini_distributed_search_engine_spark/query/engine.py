@@ -65,7 +65,19 @@ class SearchEngine:
             if packed_bucketed_path is not None:
                 from ..index.build import register_bucketed
                 names = register_bucketed(spark, packed_bucketed_path)
-                self.packed = spark.table(names[0]).cache()
+                # pick the shard-clustered table, not blindly the first
+                # descriptor entry (layouts may share a root; pointing
+                # --packed-bucketed at a term-bucketed-only root should
+                # fail HERE, not later inside compute_shard_bounds)
+                packed_tbl = next(
+                    (n for n in names if "shard_id" in
+                     [f.name for f in spark.table(n).schema.fields]), None)
+                if packed_tbl is None:
+                    raise ValueError(
+                        f"no shard_id-bucketed table under "
+                        f"{packed_bucketed_path} (tables: {names}); "
+                        "write one with write_packed_bucketed()")
+                self.packed = spark.table(packed_tbl).cache()
             else:
                 n = spark.sparkContext.defaultParallelism
                 self.packed = (spark.read
@@ -86,9 +98,12 @@ class SearchEngine:
     def _ensure_term_stats(self) -> DataFrame:
         if not hasattr(self, "term_stats"):
             if self._bucketed_tables is not None:
-                # catalog table, NOT .cache()d: caching re-partitions the
-                # scan and would discard the bucketed output partitioning
-                # that makes term joins exchange-free
+                # catalog table, left uncached: the fresh-session test
+                # asserts the zero-exchange plan straight off the files
+                # (bucketing does survive InMemoryRelation — the packed
+                # path relies on that — but these analytics-side tables
+                # are scanned rarely enough that pinning them is not
+                # worth the executor memory)
                 self.term_stats = self.spark.table(self._bucketed_tables[1])
             else:
                 self.term_stats = self.spark.read.parquet(
@@ -147,13 +162,21 @@ class SearchEngine:
             out = bm25_topk(self.spark, self.tf, self.term_stats,
                             self.doc_stats, queries=queries)
         if hydrate:
-            from pyspark.sql import functions as F
-            meta = self.docs.select("doc_id", "conv_id", "turn_idx", "role",
-                                    F.substring("text", 1, 80).alias("snippet"))
-            out = out.join(meta, "doc_id").select(
-                "query_id", "rank", "doc_id", "score",
-                "conv_id", "turn_idx", "role", "snippet")
+            out = self._hydrate(out, "score")
         return out
+
+    def _hydrate(self, out: DataFrame, score_col: str) -> DataFrame:
+        """Attach display metadata to a rank list. LEFT join: a fused
+        hybrid list may carry a vec_id with no doc row if the embeddings
+        table drifted from the doc store — better a null-snippet row (the
+        inconsistency stays visible) than silently dropped ranks. For
+        BM25 lists every doc_id exists, so left == inner there."""
+        from pyspark.sql import functions as F
+        meta = self.docs.select("doc_id", "conv_id", "turn_idx", "role",
+                                F.substring("text", 1, 80).alias("snippet"))
+        return out.join(meta, "doc_id", "left").select(
+            "query_id", "rank", "doc_id", score_col,
+            "conv_id", "turn_idx", "role", "snippet")
 
     def search(self, text: str, k: int = 10, hydrate: bool = True,
                mode: str = "or", role: str | None = None) -> list:
@@ -166,23 +189,38 @@ class SearchEngine:
         """Warm the semantic leg for `search_hybrid`: cache the embeddings
         table, resolve the IVF centroids ONCE (localized — k x dim doubles),
         and materialize the centroid_id-partitioned inverted lists at
-        ``ivf_root`` unless already present (the at-rest layout whose probe
-        scans Catalyst directory-prunes). After this, a hybrid request is
-        two small warm jobs (probe-pruned semantic scan + packed-WAND
-        lexical scan) plus the O(candidates) fusion."""
+        ``ivf_root``. An existing layout is reused ONLY if its
+        `_ivf_meta.json` matches (same embeddings path, centroid count,
+        vector count) — a stale or foreign layout would silently serve
+        wrong candidates, so anything else is rewritten. After this, a
+        hybrid request is two small warm jobs (probe-pruned semantic scan
+        + packed-WAND lexical scan) plus the O(candidates) fusion."""
+        import json
         import os
+        from pathlib import Path
         from ..functions import similarity as S
         emb = self.spark.read.parquet(embeddings_path)
         self._emb = emb.cache()
-        self._emb.count()
+        n_vecs = int(self._emb.count())
         cents = S._resolve_centroids(self._emb, n_centroids, None)
         rows = [(int(r["centroid_id"]), [float(x) for x in r["c_emb"]])
                 for r in cents.collect()]
         self._cents = self.spark.createDataFrame(
             rows, "centroid_id int, c_emb array<double>")
-        if not os.path.isdir(ivf_root):
+        meta = {"embeddings_path": os.path.abspath(embeddings_path),
+                "n_centroids": n_centroids, "n_vecs": n_vecs}
+        meta_path = Path(ivf_root) / "_ivf_meta.json"
+        reusable = (meta_path.exists()
+                    and json.loads(meta_path.read_text()) == meta)
+        if not reusable:
             S.ivf_write_partitioned(
                 S.ivf_assign(self._emb, n_centroids, self._cents), ivf_root)
+            meta_path.write_text(json.dumps(meta))
+        # resolve the partitioned scan once: per-request re-reads would pay
+        # file-listing/schema resolution again; the probe filter still
+        # partition-prunes this (uncached — caching would materialize
+        # every partition and defeat the pruning)
+        self._ivf_df = self.spark.read.parquet(ivf_root)
         self._ivf = (ivf_root, n_centroids, n_probe)
 
     def search_hybrid(self, text: str, query_vec_id: int, k: int = 10,
@@ -192,28 +230,30 @@ class SearchEngine:
         ``query_vec_id`` — embeddings come from an upstream encoder, so a
         serving text has a precomputed vector id), fused with RRF. Same
         fusion as `hybrid.hybrid_ann_topk` (shared `_fuse`); requires
-        `warm_hybrid` first."""
+        `warm_hybrid` first. Unknown vec ids raise ValueError (-> HTTP
+        400) instead of silently degrading to a lexical-only ranking."""
         if not hasattr(self, "_ivf"):
             raise RuntimeError("call warm_hybrid(embeddings_path, ivf_root) "
                                "before search_hybrid")
+        from pyspark.sql import functions as F
         from ..functions import similarity as S
         from .hybrid import RRF_K, _fuse
         ivf_root, n_centroids, n_probe = self._ivf
+        if not self._emb.where(
+                F.col("vec_id") == query_vec_id).head(1):
+            raise ValueError(f"unknown query_vec_id {query_vec_id}: not in "
+                             "the warmed embeddings table")
         b = (self.search_batch((Query("q", text, k=k_each),), hydrate=False)
              .select("query_id", "doc_id", "rank"))
         c = S.ivf_partitioned_topk(self.spark, ivf_root, self._emb,
                                    query_ids=(query_vec_id,), k=k_each,
                                    n_centroids=n_centroids, n_probe=n_probe,
-                                   centroids=self._cents)
+                                   centroids=self._cents,
+                                   corpus_df=self._ivf_df)
         out = _fuse(self.spark, b, c, (("q", text, query_vec_id),),
                     k, RRF_K)
         if hydrate:
-            from pyspark.sql import functions as F
-            meta = self.docs.select("doc_id", "conv_id", "turn_idx", "role",
-                                    F.substring("text", 1, 80).alias("snippet"))
-            out = out.join(meta, "doc_id").select(
-                "query_id", "rank", "doc_id", "rrf",
-                "conv_id", "turn_idx", "role", "snippet")
+            out = self._hydrate(out, "rrf")
         return out.orderBy("rank").collect()
 
     def _positions_df(self) -> DataFrame:

@@ -270,3 +270,26 @@ def test_engine_packed_bucketed_no_warmup_shuffle(spark, index_root,
         assert rows and all(r["role"] == "user" for r in rows)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_search_hybrid_rejects_unknown_vec(spark, index_root, tmp_path):
+    """An unknown query_vec_id must raise ValueError (-> HTTP 400), not
+    silently degrade to a lexical-only ranking; and warm_hybrid must
+    rebuild a layout whose _ivf_meta.json does not match."""
+    import json
+    from pathlib import Path
+    emb_path = str(tmp_path / "emb2")
+    _fake_embeddings(spark, 200, emb_path)
+    eng = SearchEngine(spark, index_root)
+    ivf_root = str(tmp_path / "ivf2")
+    eng.warm_hybrid(emb_path, ivf_root)
+    with pytest.raises(ValueError, match="unknown query_vec_id"):
+        eng.search_hybrid("apple", query_vec_id=99_999)
+    # stale-layout guard: tamper with the meta -> re-warm rewrites it
+    meta_p = Path(ivf_root) / "_ivf_meta.json"
+    m = json.loads(meta_p.read_text())
+    assert m["n_vecs"] == 200
+    meta_p.write_text(json.dumps({**m, "n_vecs": 1}))
+    eng.warm_hybrid(emb_path, ivf_root)      # mismatched meta -> rewrite
+    assert json.loads(meta_p.read_text())["n_vecs"] == 200
+    assert eng.search_hybrid("apple banana", query_vec_id=3, k=5)
