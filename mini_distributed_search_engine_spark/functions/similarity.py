@@ -331,6 +331,14 @@ def ivf_partitioned_topk(spark, path: str, embeddings: DataFrame,
     probe = _probe_lists(embeddings, query_ids, n_centroids, n_probe, cents)
     probed = sorted({int(r["centroid_id"])
                      for r in probe.select("centroid_id").distinct().collect()})
+    if query_ids and not probed:
+        # every query id has >= n_probe probed centroids when it exists in
+        # the embeddings table, so an empty probe set means the ids are
+        # unknown — fail loudly (a serving front maps this to HTTP 400)
+        # instead of silently returning an empty/degraded candidate list.
+        # This rides the probe collect that happens anyway: zero extra jobs.
+        raise ValueError(f"query vec ids {list(query_ids)} not found in "
+                         "the embeddings table")
     base = corpus_df if corpus_df is not None else spark.read.parquet(path)
     corpus = base.where(F.col("centroid_id").isin(probed))
     return _rank_probed_candidates(corpus, probe, k)

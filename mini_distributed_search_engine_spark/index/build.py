@@ -363,15 +363,27 @@ def register_bucketed(spark, path: str) -> list[str]:
         sort = ", ".join(t["sorted_by"])
         cluster = ", ".join(cluster_cols)
         if spark.catalog.tableExists(name):
-            # Reuse a live entry at the same location instead of
-            # DROP+CREATE: dropping cascades an uncache through Spark,
-            # silently de-warming any OTHER engine's cache built on this
-            # table in the same session. Different location -> recreate.
-            loc = [r["data_type"] for r in
-                   spark.sql(f"DESCRIBE FORMATTED {name}").collect()
-                   if r["col_name"] == "Location"]
-            if loc and loc[0].rstrip("/").endswith(
-                    t["location"].lstrip("./").rstrip("/")):
+            # Reuse a live entry instead of DROP+CREATE (dropping cascades
+            # an uncache through Spark, silently de-warming any OTHER
+            # engine's cache built on this table in the same session) —
+            # but ONLY if the catalog entry matches the descriptor
+            # exactly: resolved absolute location (no suffix matching — a
+            # backup copy at /backup/<same tail> must NOT be reused),
+            # bucket count, and bucket columns. Anything else: recreate.
+            import os
+            fmt = {r["col_name"]: (r["data_type"] or "").strip() for r in
+                   spark.sql(f"DESCRIBE FORMATTED {name}").collect()}
+            cat_loc = fmt.get("Location", "")
+            if cat_loc.startswith("file:"):
+                cat_loc = cat_loc.split(":", 1)[1]
+            want_loc = os.path.abspath(t["location"])
+            cat_buckets = fmt.get("Num Buckets", "")
+            cat_cluster = fmt.get("Bucket Columns", "")
+            want_cluster = "[" + ", ".join(
+                f"`{c}`" for c in cluster_cols) + "]"
+            if (os.path.abspath(cat_loc.rstrip("/")) == want_loc
+                    and cat_buckets == str(buckets)
+                    and cat_cluster == want_cluster):
                 names.append(name)
                 continue
             spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -48,8 +48,15 @@ class SearchEngine:
         if bucketed_path is not None:
             from ..index.build import register_bucketed
             names = register_bucketed(spark, bucketed_path)
-            tf_tbl = next(n for n in names if n.endswith("_term_doc_tf"))
-            ts_tbl = next(n for n in names if n.endswith("_term_stats"))
+            tf_tbl = next(
+                (n for n in names if n.endswith("_term_doc_tf")), None)
+            ts_tbl = next(
+                (n for n in names if n.endswith("_term_stats")), None)
+            if tf_tbl is None or ts_tbl is None:
+                raise ValueError(
+                    f"no term-bucketed term_doc_tf/term_stats tables under "
+                    f"{bucketed_path} (tables: {names}); write them with "
+                    "write_index_bucketed()")
             self._bucketed_tables = (tf_tbl, ts_tbl)
         self.doc_stats = spark.read.parquet(f"{index_root}/stats/doc_stats")
         self._stats_row = self.doc_stats.collect()[0]  # warm once
@@ -84,11 +91,11 @@ class SearchEngine:
                                .parquet(f"{index_root}/merged/data")
                                .repartition(n, "shard_id").cache())
             self.packed.count()
-            # per-shard doc lower bounds, warmed once: filtered queries
-            # then skip the blocking bounds job (wand.compute_shard_bounds
-            # note) — one metadata-scale collect here instead of one per
-            # role-filtered request
-            self._shard_bounds = compute_shard_bounds(self.packed)
+        # per-shard doc lower bounds: computed LAZILY on the first
+        # role-filtered query and memoized (wand.compute_shard_bounds note)
+        # — unfiltered engines never pay the bounds aggregation at all,
+        # filtered ones pay one metadata-scale collect total
+        self._shard_bounds: list | None = None
         self.docs = spark.read.parquet(f"{index_root}/docs/data")
         self._index_root = index_root
         self._positions: DataFrame | None = None
@@ -136,6 +143,8 @@ class SearchEngine:
             from pyspark.sql import functions as F
             allowed = self.docs.where(F.col("role") == role).select("doc_id")
             if self.use_packed:
+                if self._shard_bounds is None:
+                    self._shard_bounds = compute_shard_bounds(self.packed)
                 out = wand_topk(self.spark, self.packed, self.doc_stats,
                                 queries=queries,
                                 corpus_stats=self._corpus_stats,
@@ -199,6 +208,11 @@ class SearchEngine:
         import os
         from pathlib import Path
         from ..functions import similarity as S
+        if hasattr(self, "_emb"):
+            # re-warm: release the previous embeddings cache (a different
+            # path is a different logical plan — the new .cache() would
+            # not replace it, leaking executor memory per re-warm)
+            self._emb.unpersist()
         emb = self.spark.read.parquet(embeddings_path)
         self._emb = emb.cache()
         n_vecs = int(self._emb.count())
@@ -235,14 +249,12 @@ class SearchEngine:
         if not hasattr(self, "_ivf"):
             raise RuntimeError("call warm_hybrid(embeddings_path, ivf_root) "
                                "before search_hybrid")
-        from pyspark.sql import functions as F
         from ..functions import similarity as S
         from .hybrid import RRF_K, _fuse
         ivf_root, n_centroids, n_probe = self._ivf
-        if not self._emb.where(
-                F.col("vec_id") == query_vec_id).head(1):
-            raise ValueError(f"unknown query_vec_id {query_vec_id}: not in "
-                             "the warmed embeddings table")
+        # unknown vec ids surface as ValueError from the semantic leg's
+        # probe collect (similarity.ivf_partitioned_topk) — no extra
+        # per-request validation scan on the serving path
         b = (self.search_batch((Query("q", text, k=k_each),), hydrate=False)
              .select("query_id", "doc_id", "rank"))
         c = S.ivf_partitioned_topk(self.spark, ivf_root, self._emb,

@@ -283,7 +283,7 @@ def test_search_hybrid_rejects_unknown_vec(spark, index_root, tmp_path):
     eng = SearchEngine(spark, index_root)
     ivf_root = str(tmp_path / "ivf2")
     eng.warm_hybrid(emb_path, ivf_root)
-    with pytest.raises(ValueError, match="unknown query_vec_id"):
+    with pytest.raises(ValueError, match="not found in"):
         eng.search_hybrid("apple", query_vec_id=99_999)
     # stale-layout guard: tamper with the meta -> re-warm rewrites it
     meta_p = Path(ivf_root) / "_ivf_meta.json"
