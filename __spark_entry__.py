@@ -350,6 +350,18 @@ def _bm25_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "conv_rank", "conv_id", "doc_id", "score"))
 
 
+def _text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram benchmark decontamination: flag corpus docs sharing any word
+    3-gram with a held-out 'benchmark' slice (doc_id % 97 == 0 — a
+    deterministic self-contained stand-in for an external eval suite).
+    k=3 because the synthetic docs are ~50 tokens; the API default is the
+    published 13-gram recipe (functions/dedup.py::decontaminate)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return D.decontaminate(corpus, bench, k=3)
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs -> duplicate GROUPS: connected components (iterative
     min-label propagation) over the LSH near-dup edge list; oracle is the
@@ -687,6 +699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sigs": lambda s, d: D.minhash_signatures(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: D.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: D.simhash(_docs(s, d)),
+        # NEW round 4: n-gram benchmark decontamination (broadcast bench side)
+        "text_decontaminate": _text_decontaminate,
         "embed_cosine_topk": lambda s, d: S.cosine_topk(_emb(s, d)),
         "embed_lsh_ann_topk": lambda s, d: S.lsh_ann_topk(_emb(s, d)),
         # brute-force embed_near_dup was demoted to a pytest-only recall
@@ -855,6 +869,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_sigs": OM.sql_minhash_signatures(),
         "dedup_ngram_jaccard": OM.sql_ngram_jaccard(),
         "dedup_simhash": OM.sql_simhash(),
+        "text_decontaminate": OM.sql_decontaminate(),
         "embed_cosine_topk": OM.sql_cosine_topk(),
         "embed_lsh_ann_topk": OM.sql_lsh_ann_topk(),
         "embed_near_dup_lsh": OM.sql_embedding_near_dup_lsh(),

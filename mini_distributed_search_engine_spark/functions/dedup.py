@@ -128,6 +128,32 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5,
             .select("doc_a", "doc_b", "jaccard"))
 
 
+def decontaminate(docs: DataFrame, bench: DataFrame, k: int = 13,
+                  id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, bench_id, n_shared): corpus docs sharing at least one
+    distinct word k-gram shingle with a benchmark doc, with the count of
+    distinct shared shingles — n-gram benchmark decontamination (k=13 in
+    the published GPT-3 appendix-C recipe; pass a smaller k for short
+    docs).
+
+    Scale: the benchmark side is small by definition (eval suites are
+    10^4..10^6 docs against a 10^12-turn corpus), so its shingle set is
+    broadcast — the corpus side never shuffles its shingle expansion:
+    scan -> shingle transform -> broadcast hash join -> partial-agg
+    groupBy. No df-cut here (unlike ngram_jaccard_pairs): decontamination
+    wants every exact overlap, and the bench side's size bounds the
+    join fan-out per corpus shingle.
+    """
+    corpus_sh = word_shingles(docs, k, id_col, text_col)
+    bench_sh = (word_shingles(bench, k, id_col, text_col)
+                .select(F.col("doc_id").alias("bench_id"), "shingle"))
+    # both sides are distinct per (doc, shingle), so count(*) after the
+    # join counts distinct shared shingles per (doc_id, bench_id)
+    return (corpus_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count("*").cast("long").alias("n_shared")))
+
+
 def simhash(docs: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """(doc_id, simhash): tf-weighted sign-sum over token-hash bits.

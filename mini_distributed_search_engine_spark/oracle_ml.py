@@ -116,6 +116,20 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= {threshold}"""
 
 
+def sql_decontaminate(k: int = 3, bench_mod: int = 97) -> str:
+    """Mirror of functions/dedup.py::decontaminate with the gate's
+    deterministic benchmark slice (doc_id % bench_mod == 0)."""
+    return f"""
+WITH {_shingles_cte(k)},
+bench AS (SELECT doc_id AS bench_id, shingle FROM sh
+          WHERE doc_id % {bench_mod} = 0),
+corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % {bench_mod} <> 0)
+SELECT c.doc_id AS doc_id, b.bench_id AS bench_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM corpus c JOIN bench b USING (shingle)
+GROUP BY 1, 2"""
+
+
 def sql_simhash(bits: int = SIMHASH_BITS) -> str:
     return f"""
 WITH {_toks_cte()},

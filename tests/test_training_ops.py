@@ -246,3 +246,17 @@ def test_hybrid_ann_recall_vs_exact(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_decontaminate_shared_shingles_and_broadcast(spark, dup_docs):
+    # bench = doc 0; doc 2 shares exactly 5 of its six 3-gram shingles
+    # (only "zeta eta novel" differs); doc 3 shares none
+    bench = dup_docs.where("doc_id = 0")
+    corpus = dup_docs.where("doc_id IN (2, 3)")
+    out = D.decontaminate(corpus, bench, k=3)
+    rows = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in out.collect()}
+    assert rows == {(2, 0): 5}
+    # the benchmark shingle set must hit the corpus via a broadcast join —
+    # the corpus-side shingle expansion never shuffles
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
