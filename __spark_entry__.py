@@ -29,7 +29,8 @@ from mini_distributed_search_engine_spark.functions.multimodal import (
     attach_fake_media, embed_media, extract_media_meta, sample_frames)
 from mini_distributed_search_engine_spark.index.build import build_index
 from mini_distributed_search_engine_spark.index.packed import (
-    append_packed, build_packed_postings, merge_packed, unpack_to_rows)
+    append_packed, build_packed_postings, merge_packed, purge_docs,
+    unpack_to_rows)
 from mini_distributed_search_engine_spark.operators import analytics, flame
 from mini_distributed_search_engine_spark.operators.pagerank import (
     pagerank_converged_query, pagerank_converged_sql, pagerank_fixed_query,
@@ -281,6 +282,22 @@ def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_packed = build_packed_postings(old_tf, avgdl, shard_span=128)
     return unpack_to_rows(
         append_packed(old_packed, new_tf, avgdl, shard_span=128))
+
+
+def _packed_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone purge: pack + merge, physically delete every doc with
+    doc_id % 13 == 0 (the deterministic tombstone set), decode back —
+    must equal the raw postings table minus the tombstoned docs. Only
+    range-intersecting segments re-encode; the rest pass through
+    byte-untouched (pytest-enforced in tests/test_incremental.py)."""
+    idx = _index(spark, sf_dir, stem=True)
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    packed = merge_packed(
+        build_packed_postings(idx.term_doc_tf, avgdl, shard_span=128),
+        level_factor=4)
+    tomb = [r["doc_id"] for r in idx.docs.where(F.col("doc_id") % 13 == 0)
+            .select("doc_id").collect()]  # metadata-scale tombstone set
+    return unpack_to_rows(purge_docs(packed, tomb))
 
 
 def _streaming_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_roundtrip": _packed_roundtrip,
         "index_lineage": _index_lineage,
         "packed_incremental_roundtrip": _packed_incremental,
+        # NEW round 4: tombstone deletes folded in at compaction time
+        "packed_purge_roundtrip": _packed_purge,
         # NEW round 4: streaming-built index vs the independent oracle
         "streaming_index_roundtrip": _streaming_index_roundtrip,
         "hybrid_rrf_topk": _hybrid_topk,
@@ -794,6 +813,11 @@ def oracle_sql() -> dict[str, str]:
         "term_positions": O.sql_term_positions(stem=True),
         "phrase_match": O.sql_phrase_match(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
+        # same postings oracle minus the deterministic tombstone slice
+        # (dl keeps its pre-delete value: a doc's length never depends on
+        # OTHER docs, and the packed dls are per-posting copies)
+        "packed_purge_roundtrip": (O.sql_term_doc_tf_dl(stem=True)
+                                   + "\nWHERE tf.doc_id % 13 <> 0"),
         "index_lineage": O.sql_index_lineage(shard_span=128, stem=True),
         "packed_incremental_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "streaming_index_roundtrip": O.sql_term_doc_tf_dl(stem=True),

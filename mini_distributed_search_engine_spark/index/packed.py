@@ -341,6 +341,60 @@ def append_packed(old_packed: DataFrame, new_term_doc_tf: DataFrame,
     return with_global_df(untouched.unionByName(spliced))
 
 
+def purge_docs(packed: DataFrame, doc_ids) -> DataFrame:
+    """Physical tombstone purge: remove the given doc_ids' postings from a
+    packed index, re-encoding ONLY the segments whose [first_doc, last_doc]
+    range contains a tombstone; every other segment's blobs pass through
+    byte-untouched (test-enforced). Term totals (global_df, the idf input)
+    are recomputed over the segment table via the usual broadcast join.
+
+    This is the delete half of the LSM lifecycle: a deployment records
+    deletes as a tombstone doc-id set beside the index (O(1) metadata per
+    delete) and folds them in here at compaction time. The reference has
+    no delete path at all (its Indexer is build-once); this is deployment
+    surface the Spark engine adds.
+
+    Scale: the tombstone array rides the task closure into one
+    mapInPandas pass (8 bytes per delete — a million deletes is 8 MB);
+    per segment, two np.searchsorted binary searches decide intersection,
+    so untouched segments pay zero decode work. Segments whose every
+    posting is deleted disappear, and a fully-deleted term disappears
+    with its segments. Re-encode keeps each segment's own enc_avgdl, so
+    block-max bounds stay sound under the reader's drift rescale.
+    """
+    tomb = np.unique(np.fromiter((int(d) for d in doc_ids), dtype=np.int64))
+    cols = [f.name for f in PACKED_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                lo = np.searchsorted(tomb, int(r.first_doc), side="left")
+                hi = np.searchsorted(tomb, int(r.last_doc), side="right")
+                if lo == hi:  # no tombstone inside this segment's doc range
+                    out.append({c: getattr(r, c) for c in cols})
+                    continue
+                dec = decode_postings(bytes(r.doc_gaps), bytes(r.tfs),
+                                      bytes(r.dls))
+                keep = ~np.isin(dec.doc_ids, tomb[lo:hi])
+                if not keep.any():
+                    continue  # segment fully deleted
+                if keep.all():  # tombstones in range, none in this term
+                    out.append({c: getattr(r, c) for c in cols})
+                    continue
+                enc = encode_postings(dec.doc_ids[keep], dec.tfs[keep],
+                                      dec.dls[keep], float(r.enc_avgdl))
+                row = {"term": r.term, "shard_id": int(r.shard_id),
+                       "global_df": 0,
+                       "last_doc": int(enc["block_last_doc"][-1])}
+                row.update({k: enc[k] for k in _ENC_KEYS})
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    return with_global_df(packed.mapInPandas(gen, PACKED_SCHEMA))
+
+
 def unpack_to_rows(packed: DataFrame) -> DataFrame:
     """Inverse of build_packed_postings (for tests/round-trips):
     packed segments -> (term, doc_id, tf, dl) rows."""

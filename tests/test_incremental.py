@@ -84,3 +84,36 @@ def test_append_rank_identity(spark, built):
     b = _rows(wand_topk(spark, inc_packed, idx_full.doc_stats,
                         queries=QUERIES))
     assert a == b and len(a) > 0
+
+
+def test_purge_docs_roundtrip_and_untouched_bytes(spark, built):
+    from pyspark.sql import functions as F
+    from mini_distributed_search_engine_spark.index.packed import purge_docs
+
+    idx_full, full_packed, _ = built
+    # tombstone a few docs from the FIRST shard only (< SPAN)
+    tomb = [1, 7, 33]
+    purged = purge_docs(full_packed, tomb)
+
+    # 1) decoded postings == original minus the tombstoned docs
+    want = _rows(idx_full.term_doc_tf
+                 .where(~F.col("doc_id").isin(tomb))
+                 .select("term", "doc_id", "tf", "dl"))
+    got = _rows(unpack_to_rows(purged).select("term", "doc_id", "tf", "dl"))
+    assert got == want
+
+    # 2) global_df (idf input) re-counts the surviving postings
+    gdf = {r["term"]: r["global_df"]
+           for r in purged.select("term", "global_df").distinct().collect()}
+    want_gdf = {r["term"]: r["n"] for r in
+                idx_full.term_doc_tf.where(~F.col("doc_id").isin(tomb))
+                .groupBy("term").agg(F.count("*").alias("n")).collect()}
+    assert gdf == want_gdf
+
+    # 3) segments in shards the tombstones never touch pass through
+    #    byte-identical (shard 0 holds all tombstones at SPAN=64)
+    orig = {(r["term"], r["shard_id"]): bytes(r["doc_gaps"])
+            for r in full_packed.where("shard_id > 0").collect()}
+    after = {(r["term"], r["shard_id"]): bytes(r["doc_gaps"])
+             for r in purged.where("shard_id > 0").collect()}
+    assert after == orig
