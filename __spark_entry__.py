@@ -138,6 +138,21 @@ def _bm25_filtered_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(spark, packed, idx.doc_stats, allowed_docs=allowed)
 
 
+def _bm25_tombstoned_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time tombstone masking: every doc with doc_id % 13 == 0 is
+    deleted-but-not-yet-purged; the blocked set rides the kernel closure
+    (metadata-scale by the LSM discipline) and candidates are dropped
+    the moment they decode. Oracle = BM25 over the surviving docs with
+    GLOBAL corpus stats — identical semantics to the allowed-doc filter
+    with the membership test inverted."""
+    idx = _index(spark, sf_dir, stem=True)
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=256)
+    tomb = [r["doc_id"] for r in idx.docs.where(F.col("doc_id") % 13 == 0)
+            .select("doc_id").collect()]
+    return wand_topk(spark, packed, idx.doc_stats, blocked_ids=tomb)
+
+
 def _bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: doc must contain every analyzed query
     term — the declarative posting-list-intersection path."""
@@ -660,6 +675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered": _bm25_filtered,
         # NEW round 4: same filter semantics served from the packed index
         "bm25_topk_filtered_wand": _bm25_filtered_wand,
+        # NEW round 4: tombstoned retrieval (deletes visible pre-compaction)
+        "bm25_topk_tombstoned_wand": _bm25_tombstoned_wand,
         "bm25_topk_collapsed": _bm25_collapsed,
         "bm25_topk_wand": _bm25_wand,
         "bm25_topk_and_wand": _bm25_and_wand,
@@ -800,6 +817,8 @@ def oracle_sql() -> dict[str, str]:
             stem=True, doc_filter_sql="fd.role = 'user'"),
         "bm25_topk_filtered_wand": O.sql_bm25_topk(
             stem=True, doc_filter_sql="fd.role = 'user'"),
+        "bm25_topk_tombstoned_wand": O.sql_bm25_topk(
+            stem=True, doc_filter_sql="fd.doc_id % 13 <> 0"),
         "bm25_topk_collapsed": O.sql_bm25_collapsed(stem=True),
         "bm25_topk_wand": O.sql_bm25_topk(stem=True),
         "bm25_topk_and": O.sql_bm25_topk_conjunctive(stem=True),

@@ -99,6 +99,7 @@ class SearchEngine:
         self.docs = spark.read.parquet(f"{index_root}/docs/data")
         self._index_root = index_root
         self._positions: DataFrame | None = None
+        self._tombstones: set[int] = set()
         if not use_packed:
             self._ensure_tf()
 
@@ -128,12 +129,24 @@ class SearchEngine:
                 self.tf.count()
             self._ensure_term_stats()
 
+    def delete_docs(self, doc_ids) -> int:
+        """Record query-time tombstones: the given doc_ids stop appearing
+        in every subsequent search (masked inside the WAND kernel /
+        filtered out of the exhaustive and phrase paths) WITHOUT touching
+        the at-rest index — a delete is O(1) metadata, the LSM write
+        discipline. Fold the accumulated set into the index with
+        `packed.purge_docs` at compaction time, then start a fresh engine
+        on the purged index. Returns the total live tombstone count."""
+        self._tombstones.update(int(d) for d in doc_ids)
+        return len(self._tombstones)
+
     def search_batch(self, queries: tuple[Query, ...],
                      hydrate: bool = False, mode: str = "or",
                      role: str | None = None) -> DataFrame:
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         conjunctive = mode == "and"
+        tomb = sorted(self._tombstones) if self._tombstones else None
         if role is not None:
             # metadata-filtered retrieval: the allowed doc_ids are sharded
             # alongside the packed segments (wand.wand_topk allowed_docs —
@@ -142,6 +155,10 @@ class SearchEngine:
             # other query; no second uncompressed index copy stays hot.
             from pyspark.sql import functions as F
             allowed = self.docs.where(F.col("role") == role).select("doc_id")
+            if tomb is not None and not self.use_packed:
+                # exhaustive path has no kernel mask: shrink the allowed
+                # side instead (same semantics — blocked docs can't rank)
+                allowed = allowed.where(~F.col("doc_id").isin(tomb))
             if self.use_packed:
                 if self._shard_bounds is None:
                     self._shard_bounds = compute_shard_bounds(self.packed)
@@ -150,7 +167,8 @@ class SearchEngine:
                                 corpus_stats=self._corpus_stats,
                                 conjunctive=conjunctive,
                                 allowed_docs=allowed,
-                                shard_bounds=self._shard_bounds)
+                                shard_bounds=self._shard_bounds,
+                                blocked_ids=tomb)
             elif conjunctive:
                 raise ValueError(
                     "role filter with mode='and' needs the packed index")
@@ -163,13 +181,17 @@ class SearchEngine:
             out = wand_topk(self.spark, self.packed, self.doc_stats,
                             queries=queries,
                             corpus_stats=self._corpus_stats,
-                            conjunctive=conjunctive)
-        elif conjunctive:
-            out = bm25_topk_conjunctive(self.spark, self.tf, self.term_stats,
-                                        self.doc_stats, queries=queries)
+                            conjunctive=conjunctive,
+                            blocked_ids=tomb)
         else:
-            out = bm25_topk(self.spark, self.tf, self.term_stats,
-                            self.doc_stats, queries=queries)
+            tf = self.tf if tomb is None else self.tf.where(
+                ~self.tf.doc_id.isin(tomb))
+            if conjunctive:
+                out = bm25_topk_conjunctive(self.spark, tf, self.term_stats,
+                                            self.doc_stats, queries=queries)
+            else:
+                out = bm25_topk(self.spark, tf, self.term_stats,
+                                self.doc_stats, queries=queries)
         if hydrate:
             out = self._hydrate(out, "score")
         return out
@@ -262,6 +284,11 @@ class SearchEngine:
                                    n_centroids=n_centroids, n_probe=n_probe,
                                    centroids=self._cents,
                                    corpus_df=self._ivf_df)
+        if self._tombstones:
+            # the semantic leg ranks vec_ids == doc_ids; tombstoned docs
+            # must not ride in through it (the lexical leg is masked
+            # inside search_batch)
+            c = c.where(~c.vec_id.isin(sorted(self._tombstones)))
         out = _fuse(self.spark, b, c, (("q", text, query_vec_id),),
                     k, RRF_K)
         if hydrate:
@@ -285,8 +312,10 @@ class SearchEngine:
 
     def search_phrase(self, text: str, k: int = 10) -> list:
         """Exact phrase search; rows (rank, doc_id, n_occ)."""
-        df = phrase_match(self.spark, self._positions_df(),
-                          (Query("q", text, k=k),))
+        pos = self._positions_df()
+        if self._tombstones:
+            pos = pos.where(~pos.doc_id.isin(sorted(self._tombstones)))
+        df = phrase_match(self.spark, pos, (Query("q", text, k=k),))
         return df.orderBy("rank").collect()
 
     def suggest(self, prefix: str, n: int = 10) -> list[str]:

@@ -205,7 +205,8 @@ def compute_shard_bounds(packed: DataFrame) -> list[tuple[int, int]]:
 def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 n_docs: int, avgdl: float, round_scores: int | None,
                 conjunctive: bool = False, filtered: bool = False,
-                eager_decode: bool = False):
+                eager_decode: bool = False,
+                blocked: np.ndarray | None = None):
     """applyInPandas fn: one doc-shard's segments -> per-query top-k
     candidates. queries_meta: (query_id, terms, k); idf comes from the
     segments' stored global_df. ``conjunctive=True`` = AND semantics:
@@ -219,7 +220,13 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
     allowed docs only, and every upper bound still dominates every doc,
     allowed included. Corpus statistics (idf, avgdl) stay global: standard
     filtered-search semantics, rank-identical to `bm25.bm25_topk` with
-    ``allowed_docs`` (test-enforced)."""
+    ``allowed_docs`` (test-enforced).
+
+    ``blocked`` (a sorted int64 array riding the closure — tombstones, so
+    metadata-scale by the LSM discipline: `packed.purge_docs` folds them
+    in at compaction before the set grows) drops candidates the moment
+    they are decoded, same soundness argument as the allowed mask with
+    the membership test inverted."""
     eps = 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
     def run(pdf: pd.DataFrame, allowed: np.ndarray | None) -> pd.DataFrame:
@@ -248,6 +255,8 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 docs = terms[0][1].full()[0]
                 if allowed is not None:
                     docs = docs[_in_sorted(docs, allowed)]
+                if blocked is not None and docs.size:
+                    docs = docs[~_in_sorted(docs, blocked)]
                 for _, seg in terms[1:]:
                     if docs.size == 0:
                         break
@@ -285,6 +294,9 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 if allowed is not None and new_docs.size:
                     amask = _in_sorted(new_docs, allowed)
                     new_docs, own = new_docs[amask], own[amask]
+                if blocked is not None and new_docs.size:
+                    bmask = ~_in_sorted(new_docs, blocked)
+                    new_docs, own = new_docs[bmask], own[bmask]
                 if new_docs.size == 0:
                     continue
                 own = seg.idf * own
@@ -368,7 +380,8 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
               conjunctive: bool = False,
               allowed_docs: DataFrame | None = None,
               shard_bounds: list[tuple[int, int]] | None = None,
-              eager_decode: bool = False) -> DataFrame:
+              eager_decode: bool = False,
+              blocked_ids=None) -> DataFrame:
     """Exact BM25 top-k via per-shard MaxScore over the packed index.
 
     Output schema identical to `bm25.bm25_topk`:
@@ -388,6 +401,13 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
     postings beyond the driver term's scan. Corpus statistics stay global
     (standard filtered-search semantics; same oracle as the exhaustive
     `bm25.bm25_topk(allowed_docs=...)` path).
+
+    ``blocked_ids`` (an iterable of doc_ids — query-time tombstones
+    recorded since the last `packed.purge_docs` compaction) excludes
+    those docs from candidacy inside the kernel. The set is
+    metadata-scale by the LSM discipline, so it rides the task closure
+    (8 bytes per id) instead of a cogroup; composes with
+    ``allowed_docs``.
     """
     qrows = analyzed_query_terms(queries, stem=stem)
     if corpus_stats is None:
@@ -405,10 +425,17 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
         per_query[query_id][0].append(term)
     queries_meta = [(q, ts, k) for q, (ts, k) in per_query.items()]
 
+    blocked = None
+    if blocked_ids is not None:
+        blocked = np.unique(np.fromiter((int(d) for d in blocked_ids),
+                                        dtype=np.int64))
+        if blocked.size == 0:
+            blocked = None
     fn = _shard_topk(queries_meta, n_docs, avgdl, round_scores,
                      conjunctive=conjunctive,
                      filtered=allowed_docs is not None,
-                     eager_decode=eager_decode)
+                     eager_decode=eager_decode,
+                     blocked=blocked)
 
     if allowed_docs is not None:
         # Per-shard doc lower bounds: tiny (one row per shard after the agg

@@ -293,3 +293,43 @@ def test_search_hybrid_rejects_unknown_vec(spark, index_root, tmp_path):
     eng.warm_hybrid(emb_path, ivf_root)      # mismatched meta -> rewrite
     assert json.loads(meta_p.read_text())["n_vecs"] == 200
     assert eng.search_hybrid("apple banana", query_vec_id=3, k=5)
+
+
+def test_engine_delete_docs_masks_every_path(spark, index_root):
+    """Tombstoned docs vanish from packed, exhaustive, role-filtered and
+    phrase results without touching the at-rest index; the packed and
+    exhaustive paths stay rank-identical under the same tombstones."""
+    packed_eng = SearchEngine(spark, index_root, use_packed=True)
+    exact_eng = SearchEngine(spark, index_root, use_packed=False)
+    base = packed_eng.search("apple banana", k=10, hydrate=False)
+    assert base, "fixture must rank something"
+    victims = [base[0]["doc_id"], base[1]["doc_id"]] if len(base) > 1 \
+        else [base[0]["doc_id"]]
+    assert packed_eng.delete_docs(victims) == len(victims)
+    exact_eng.delete_docs(victims)
+
+    qs = (Query("a", "apple banana"), Query("b", "spark index"))
+    a = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+               for r in packed_eng.search_batch(qs).collect())
+    b = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+               for r in exact_eng.search_batch(qs).collect())
+    assert a == b and a
+    assert not {d for _, _, d, _ in a} & set(victims)
+
+    # role-filtered packed path composes the allowed mask with tombstones
+    rows = packed_eng.search("apple banana", k=10, hydrate=False,
+                             role="user")
+    assert not {r["doc_id"] for r in rows} & set(victims)
+
+    # phrase path: tombstone a doc known to match, confirm it disappears
+    ph = packed_eng.search_phrase("apple banana", k=10)
+    if ph:
+        packed_eng.delete_docs([ph[0]["doc_id"]])
+        after = packed_eng.search_phrase("apple banana", k=10)
+        assert ph[0]["doc_id"] not in {r["doc_id"] for r in after}
+
+    # a fresh engine on the same root sees everything again (deletes are
+    # engine-local metadata until purge_docs compaction)
+    fresh = SearchEngine(spark, index_root, use_packed=True)
+    again = fresh.search("apple banana", k=10, hydrate=False)
+    assert {r["doc_id"] for r in again} & set(victims)
