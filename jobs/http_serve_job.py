@@ -15,6 +15,10 @@ Routes (JSON replies):
   GET /hybrid?q=<text>&vec=<id>&k=10                   BM25 + IVF-ANN RRF
   GET /words?prefix=<p>&n=10                           autocomplete by df
   GET /stats                                           corpus stats + p50
+  POST /delete?ids=1,2,3                               tombstone doc ids
+       (engine-local metadata: the ids vanish from every subsequent
+       search; fold them into the at-rest index with packed.purge_docs
+       at compaction)
 
 Usage:
   spark-submit --py-files mdse.zip jobs/http_serve_job.py \
@@ -139,6 +143,33 @@ def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
                 return self._json(404, {"err": f"no route {u.path}"})
             except ValueError as e:       # bad k/n etc.
                 return self._json(400, {"err": str(e)})
+            except Exception as e:        # keep serving on engine errors
+                return self._json(500, {"err": f"{type(e).__name__}: {e}"})
+
+        def do_POST(self):  # noqa: N802 (stdlib handler contract)
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            try:
+                if u.path == "/delete":
+                    if "ids" not in q:
+                        return self._json(400, {"err": "ids parameter "
+                                                "required (comma-separated "
+                                                "doc ids)"})
+                    try:
+                        ids = [int(x) for x in q["ids"].split(",")
+                               if x.strip()]
+                    except ValueError:
+                        return self._json(400,
+                                          {"err": "ids must be integers"})
+                    if not 0 < len(ids) <= 100_000:
+                        return self._json(
+                            400, {"err": "1..100000 ids per request "
+                                  "(tombstones are metadata — fold bigger "
+                                  "batches in with packed.purge_docs)"})
+                    total = engine.delete_docs(ids)
+                    return self._json(200, {"deleted": len(ids),
+                                            "tombstones": total})
+                return self._json(404, {"err": f"no route {u.path}"})
             except Exception as e:        # keep serving on engine errors
                 return self._json(500, {"err": f"{type(e).__name__}: {e}"})
 

@@ -136,8 +136,14 @@ class SearchEngine:
         the at-rest index — a delete is O(1) metadata, the LSM write
         discipline. Fold the accumulated set into the index with
         `packed.purge_docs` at compaction time, then start a fresh engine
-        on the purged index. Returns the total live tombstone count."""
-        self._tombstones.update(int(d) for d in doc_ids)
+        on the purged index. Returns the total live tombstone count.
+
+        Rebinds the set instead of mutating in place: concurrent HTTP
+        handler threads iterate it (`sorted(self._tombstones)`) while a
+        delete lands, and CPython raises on a set that changes size
+        mid-iteration — readers must see the old or the new set, never a
+        half-updated one."""
+        self._tombstones = self._tombstones | {int(d) for d in doc_ids}
         return len(self._tombstones)
 
     def search_batch(self, queries: tuple[Query, ...],

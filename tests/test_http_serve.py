@@ -79,3 +79,30 @@ def test_bad_requests_get_4xx_not_500(http_base):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{http_base}/nope")
     assert e.value.code == 404
+
+
+def test_delete_route(http_base):
+    # runs LAST in this module: the fixture engine is shared and
+    # tombstones persist for the engine's lifetime by design
+    import urllib.error
+    code, body = _get(f"{http_base}/search?q=apple+banana&k=5")
+    assert code == 200 and body["rows"]
+    victim = body["rows"][0]["doc_id"]
+    req = urllib.request.Request(f"{http_base}/delete?ids={victim}",
+                                 method="POST")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        d = json.loads(resp.read())
+    assert d == {"deleted": 1, "tombstones": 1}
+    code, body = _get(f"{http_base}/search?q=apple+banana&k=5")
+    assert victim not in {r["doc_id"] for r in body["rows"]}
+    # malformed requests get 400s, not 500s
+    for bad in ("/delete", "/delete?ids=", "/delete?ids=a,b"):
+        req = urllib.request.Request(f"{http_base}{bad}", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=120)
+        assert e.value.code == 400, bad
+    # /delete is POST-only (GET mutating state would be wrong)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(f"{http_base}/delete?ids=1")
+    assert e.value.code == 404
