@@ -36,6 +36,11 @@ def main() -> None:
                          "has more than K entries (0 = never); appends are "
                          "O(batch) but leave one dir per micro-batch, so "
                          "cron runs should compact periodically")
+    ap.add_argument("--tombstones", default=None, metavar="FILE",
+                    help="newline-separated doc ids to purge during the "
+                         "post-drain compaction (the delete half of the "
+                         "LSM lifecycle; forces a compact even under "
+                         "--compact-after's threshold)")
     args = ap.parse_args()
 
     spark = get_spark("mdse-stream-index")
@@ -50,10 +55,14 @@ def main() -> None:
     else:
         q = indexer.start(stream)
         q.awaitTermination()
-        if (args.compact_after
-                and len(indexer._manifest(indexer._meta()))
-                > args.compact_after):
-            print(f"compact: {indexer.compact()}")
+        tomb = None
+        if args.tombstones:
+            with open(args.tombstones) as fh:
+                tomb = [int(ln) for ln in fh if ln.strip()]
+        if tomb or (args.compact_after
+                    and len(indexer._manifest(indexer._meta()))
+                    > args.compact_after):
+            print(f"compact: {indexer.compact(tombstones=tomb)}")
         n, avgdl = indexer.corpus_stats()
         print(f"docs={n} avgdl={avgdl:.3f} "
               f"generation={indexer._meta()['generation']}")

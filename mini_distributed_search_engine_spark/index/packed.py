@@ -363,6 +363,13 @@ def purge_docs(packed: DataFrame, doc_ids) -> DataFrame:
     block-max bounds stay sound under the reader's drift rescale.
     """
     tomb = np.unique(np.fromiter((int(d) for d in doc_ids), dtype=np.int64))
+    return with_global_df(_purge_segments(packed, tomb))
+
+
+def _purge_segments(packed: DataFrame, tomb: np.ndarray) -> DataFrame:
+    """The purge mapInPandas pass alone: raw segments out, stored
+    global_df left STALE — `purge_docs` recomputes it via with_global_df;
+    the streaming compactor writes its own totals table instead."""
     cols = [f.name for f in PACKED_SCHEMA.fields]
 
     def gen(batches):
@@ -392,7 +399,40 @@ def purge_docs(packed: DataFrame, doc_ids) -> DataFrame:
             if out:
                 yield pd.DataFrame(out, columns=cols)
 
-    return with_global_df(packed.mapInPandas(gen, PACKED_SCHEMA))
+    return packed.mapInPandas(gen, PACKED_SCHEMA)
+
+
+def tombstone_doc_stats(packed: DataFrame, doc_ids) -> tuple[int, int]:
+    """Exact (doc count, sum of dl) of the tombstoned docs PRESENT in the
+    index — the corpus-stat delta a purge applies (n_docs and sum_dl both
+    shrink; avgdl is their ratio). One pass with the same binary-search
+    range gate as the purge itself: segments whose doc range misses every
+    tombstone are skipped without decoding; intersecting ones decode and
+    emit their tombstoned (doc_id, dl) pairs, deduped across terms (a
+    doc's dl is the same in every posting) before the final count/sum."""
+    tomb = np.unique(np.fromiter((int(d) for d in doc_ids), dtype=np.int64))
+
+    def gen(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                lo = np.searchsorted(tomb, int(r.first_doc), side="left")
+                hi = np.searchsorted(tomb, int(r.last_doc), side="right")
+                if lo == hi:
+                    continue
+                dec = decode_postings(bytes(r.doc_gaps), bytes(r.tfs),
+                                      bytes(r.dls))
+                hit = np.isin(dec.doc_ids, tomb[lo:hi])
+                if hit.any():
+                    outs.append(pd.DataFrame({"doc_id": dec.doc_ids[hit],
+                                              "dl": dec.dls[hit]}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    pairs = packed.mapInPandas(gen, "doc_id long, dl long").distinct()
+    row = pairs.agg(F.count("*").alias("n"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("s")).collect()[0]
+    return int(row["n"]), int(row["s"])
 
 
 def unpack_to_rows(packed: DataFrame) -> DataFrame:

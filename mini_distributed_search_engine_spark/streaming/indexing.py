@@ -55,8 +55,9 @@ from pyspark.sql import functions as F
 
 from ..functions.analyzer import term_tokens_df
 from ..plans.pipeline import LINEAGE_SCHEMA
-from ..index.packed import (PACKED_SCHEMA, build_packed_postings,
-                            merge_packed, with_global_df)
+from ..index.packed import (PACKED_SCHEMA, _purge_segments,
+                            build_packed_postings, merge_packed,
+                            tombstone_doc_stats, with_global_df)
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
 _COLS = [f.name for f in PACKED_SCHEMA.fields]
@@ -279,8 +280,19 @@ class StreamingIndexer:
             shutil.rmtree(self.root / p, ignore_errors=True)
         shutil.rmtree(old_tot_dir, ignore_errors=True)
 
-    def compact(self) -> dict:
+    def compact(self, tombstones=None) -> dict:
         """Consolidate the manifest into one generation directory.
+
+        ``tombstones`` (an iterable of doc_ids) folds accumulated deletes
+        into the rewrite — the purge half of the LSM delete lifecycle
+        (`SearchEngine.delete_docs` masks them at query time until this
+        runs). Purged segments re-encode only where a tombstone lands in
+        their doc range (`packed._purge_segments`); term totals are
+        rebuilt from the surviving segments, and the meta corpus stats
+        (n_docs / sum_dl, hence avgdl) shrink by the EXACT stats of the
+        tombstoned docs still present (`packed.tombstone_doc_stats`).
+        With tombstones, compaction proceeds even on a single-entry
+        manifest — there is real work regardless of read amplification.
 
         Appends are O(batch) but leave one manifest entry (= one parquet
         directory, one plan branch in ``packed()``) per micro-batch, so an
@@ -321,25 +333,46 @@ class StreamingIndexer:
                     and p.name not in referenced
                     and _gen_of(p.name) <= cur_gen):
                 shutil.rmtree(p, ignore_errors=True)
-        if len(man) <= 1:
+        tomb = sorted({int(d) for d in tombstones}) if tombstones else []
+        if len(man) <= 1 and not tomb:
             return {"compacted": False, "entries": len(man)}
+        if not man:
+            return {"compacted": False, "entries": 0}
         t0 = time.time()
         gen = int(meta["generation"]) + 1
         out_dir = f"segs_g{gen}"
-        seg = self._segments(man).persist()
+        src = self._segments(man)
+        n_del = dl_del = 0
+        if tomb:
+            import numpy as np
+            ts = np.array(tomb, dtype=np.int64)
+            # exact corpus-stat delta BEFORE the purge rewrites the rows
+            n_del, dl_del = tombstone_doc_stats(src, ts)
+            src = _purge_segments(src, ts)
+        seg = src.persist()
         seg.write.mode("overwrite").parquet(str(self.root / out_dir))
         n_segments = seg.count()
-        seg.unpersist()
-        # carry totals forward under the new generation name (packed()
-        # resolves totals by generation; content is unchanged)
         old_tot = self.root / f"totals_g{meta['generation']}"
-        if old_tot.is_dir():
+        if tomb:
+            # totals must shrink with the purged postings: rebuild from
+            # the surviving segments (vocabulary-sized, like any append)
+            (seg.groupBy("term")
+             .agg(F.sum("df").cast("long").alias("global_df"))
+             .write.mode("overwrite")
+             .parquet(str(self.root / f"totals_g{gen}")))
+        elif old_tot.is_dir():
+            # no deletes: carry totals forward under the new generation
+            # name (packed() resolves totals by generation; content is
+            # unchanged)
             (self.spark.read.parquet(str(old_tot))
              .write.mode("overwrite")
              .parquet(str(self.root / f"totals_g{gen}")))
+        seg.unpersist()
         dead = [e["path"] for e in man]
         meta.update({"generation": gen, "updated_at": time.time(),
-                     "manifest": [{"path": out_dir, "start_shard": 0}]})
+                     "manifest": [{"path": out_dir, "start_shard": 0}],
+                     "n_docs": int(meta["n_docs"]) - n_del,
+                     "sum_dl": int(meta["sum_dl"]) - dl_del})
         self._save_meta(meta)
         wall_ms = int((time.time() - t0) * 1000)
         seg_bytes = sum(f.stat().st_size
@@ -353,7 +386,8 @@ class StreamingIndexer:
         for p in dead:
             shutil.rmtree(self.root / p, ignore_errors=True)
         shutil.rmtree(old_tot, ignore_errors=True)
-        return {"compacted": True, "entries_before": len(man),
+        return {"compacted": True, "purged_docs": n_del,
+                "entries_before": len(man),
                 "segments": int(n_segments), "bytes": int(seg_bytes)}
 
     def start(self, stream_df: DataFrame, checkpoint: str | None = None):

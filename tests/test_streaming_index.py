@@ -81,3 +81,42 @@ def test_stream_restart_is_idempotent(spark, stream_root):
     after = indexer._meta()
     assert after["n_docs"] == before["n_docs"]
     assert after["generation"] == before["generation"]
+
+
+def test_compact_with_tombstones_purges_and_fixes_stats(spark, stream_root):
+    """compact(tombstones=...) — the purge half of the LSM delete
+    lifecycle: postings vanish, totals rebuild, corpus stats shrink by
+    exactly the deleted docs' (count, dl). Runs last: it rewrites the
+    shared module root."""
+    import collections
+
+    idx_root = Path(stream_root) / "idx"
+    indexer = StreamingIndexer(spark, str(idx_root), shard_span=SPAN)
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    before = rows(unpack_to_rows(indexer.packed()))
+    n0, avgdl0 = indexer.corpus_stats()
+    tomb = [0, 5, 64]  # two docs in shard 0, one in shard 1
+    dl_by_doc = {r[1]: r[3] for r in before}
+    assert all(t in dl_by_doc for t in tomb), "fixture docs must exist"
+
+    res = indexer.compact(tombstones=tomb)
+    assert res["compacted"] and res["purged_docs"] == len(tomb)
+
+    after = rows(unpack_to_rows(indexer.packed()))
+    assert after == [r for r in before if r[1] not in set(tomb)]
+
+    n1, avgdl1 = indexer.corpus_stats()
+    assert n1 == n0 - len(tomb)
+    want_sum = round(n0 * avgdl0) - sum(dl_by_doc[t] for t in tomb)
+    assert avgdl1 == pytest.approx(want_sum / n1, rel=1e-12)
+
+    # totals (the idf input) equal the surviving per-term posting counts
+    cnt = collections.Counter(r[0] for r in after)
+    gdf = {r["term"]: r["global_df"] for r in
+           indexer.packed().select("term", "global_df").distinct().collect()}
+    assert gdf == dict(cnt)
+
+    # re-compacting with the same tombstones finds nothing left to purge
+    res2 = indexer.compact(tombstones=tomb)
+    assert res2["compacted"] and res2["purged_docs"] == 0
+    assert rows(unpack_to_rows(indexer.packed())) == after
