@@ -567,13 +567,18 @@ def _index_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 #         after r4 every entry's newest row is <= two rounds old) — the
 #         flame suite, tfidf_*, nostem twins, minhash/ngram/simhash,
 #         embed cosine/LSH/near-dup, term_suggestions
-#   28-31 entries NEW this round (filtered WAND, hybrid-ANN, streaming
-#         roundtrip, deep star-CC)
-#   32-37 entries whose implementation or oracle CHANGED this round (the
-#         WAND kernel refactor, hybrid _fuse split, pagerank self-
-#         selecting oracle) — a regression here must not pass the gate
-#   38-50 core-pipeline fill (transcripts -> stats -> bm25 -> phrase ->
-#         packed), all triple-green r1+r2+r3
+#   28-35 entries NEW this round (filtered WAND, hybrid-ANN, streaming
+#         roundtrip, deep star-CC, doc-bucketed keywords, decontaminate,
+#         tombstone purge + tombstoned WAND)
+#   36-41 entries whose implementation or oracle CHANGED this round (the
+#         WAND kernel refactor + blocked-mask plumbing, hybrid _fuse
+#         split, pagerank self-selecting oracle) — a regression here
+#         must not pass the gate
+#   42-50 core-pipeline fill (stats -> bm25 -> phrase -> packed), all
+#         triple-green r1+r2+r3; transcripts/docs_stable_ids/
+#         index_lineage ceded their slots to the late-round entries
+#         (all three triple-green, newest row r3 — within the two-round
+#         freshness bound)
 # Everything left outside was driver-green in r3, so nothing's newest row
 # is older than two rounds. Verify placement after ANY registry edit:
 #   python -c "import __spark_entry__ as E; print(list(E.queries())[:50])"
@@ -589,20 +594,22 @@ _R4_WINDOW = (
     "flame_save_roundtrip", "dedup_minhash_sigs", "dedup_ngram_jaccard",
     "dedup_simhash", "embed_cosine_topk", "embed_lsh_ann_topk",
     "embed_near_dup_lsh",
-    # 28-32: new this round
+    # 28-35: new this round
     "bm25_topk_filtered_wand", "hybrid_rrf_ann_topk",
     "streaming_index_roundtrip", "dedup_components_star_deep",
-    "doc_keywords_bucketed",
-    # 33-38: implementation/oracle changed this round
+    "doc_keywords_bucketed", "text_decontaminate",
+    "packed_purge_roundtrip", "bm25_topk_tombstoned_wand",
+    # 36-41: implementation/oracle changed this round
     "bm25_topk_wand", "bm25_topk_and_wand", "bm25_topk_filtered",
     "hybrid_rrf_topk", "pagerank_fixed", "pagerank_converged",
-    # 39-50: core-pipeline fill (bm25_topk_collapsed cedes its slot to
-    # doc_keywords_bucketed — it is triple-green and a derived view of
-    # the hydrated entry, which stays)
-    "transcripts", "docs_stable_ids", "term_doc_tf", "term_stats",
+    # 42-50: core-pipeline fill (bm25_topk_collapsed ceded its slot to
+    # doc_keywords_bucketed — triple-green, a derived view of the
+    # hydrated entry, which stays; transcripts/docs_stable_ids/
+    # index_lineage ceded theirs to the late-round trio above)
+    "term_doc_tf", "term_stats",
     "doc_stats", "bm25_topk", "bm25_topk_hydrated",
     "term_positions", "phrase_match", "packed_roundtrip",
-    "packed_incremental_roundtrip", "index_lineage",
+    "packed_incremental_roundtrip",
 )
 assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
 
