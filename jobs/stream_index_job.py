@@ -42,6 +42,9 @@ def main() -> None:
                          "LSM lifecycle; forces a compact even under "
                          "--compact-after's threshold)")
     args = ap.parse_args()
+    if args.follow and args.tombstones:
+        ap.error("--tombstones needs the drain-and-exit mode (compaction "
+                 "runs post-drain; a --follow stream never reaches it)")
 
     spark = get_spark("mdse-stream-index")
     indexer = StreamingIndexer(spark, args.out, shard_span=args.shard_span)

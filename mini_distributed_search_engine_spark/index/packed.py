@@ -362,8 +362,14 @@ def purge_docs(packed: DataFrame, doc_ids) -> DataFrame:
     with its segments. Re-encode keeps each segment's own enc_avgdl, so
     block-max bounds stay sound under the reader's drift rescale.
     """
-    tomb = np.unique(np.fromiter((int(d) for d in doc_ids), dtype=np.int64))
-    return with_global_df(_purge_segments(packed, tomb))
+    return with_global_df(_purge_segments(packed, _as_sorted_ids(doc_ids)))
+
+
+def _as_sorted_ids(doc_ids) -> np.ndarray:
+    """Normalize an iterable of doc ids to the sorted unique int64 array
+    every tombstone path keys its binary searches on (shared by
+    purge_docs / tombstone_doc_stats / wand_topk's blocked mask)."""
+    return np.unique(np.fromiter((int(d) for d in doc_ids), dtype=np.int64))
 
 
 def _purge_segments(packed: DataFrame, tomb: np.ndarray) -> DataFrame:
@@ -410,7 +416,7 @@ def tombstone_doc_stats(packed: DataFrame, doc_ids) -> tuple[int, int]:
     tombstone are skipped without decoding; intersecting ones decode and
     emit their tombstoned (doc_id, dl) pairs, deduped across terms (a
     doc's dl is the same in every posting) before the final count/sum."""
-    tomb = np.unique(np.fromiter((int(d) for d in doc_ids), dtype=np.int64))
+    tomb = _as_sorted_ids(doc_ids)
 
     def gen(batches):
         for pdf in batches:

@@ -100,6 +100,8 @@ class SearchEngine:
         self._index_root = index_root
         self._positions: DataFrame | None = None
         self._tombstones: set[int] = set()
+        import threading
+        self._tombstones_lock = threading.Lock()
         if not use_packed:
             self._ensure_tf()
 
@@ -138,13 +140,16 @@ class SearchEngine:
         `packed.purge_docs` at compaction time, then start a fresh engine
         on the purged index. Returns the total live tombstone count.
 
-        Rebinds the set instead of mutating in place: concurrent HTTP
-        handler threads iterate it (`sorted(self._tombstones)`) while a
-        delete lands, and CPython raises on a set that changes size
-        mid-iteration — readers must see the old or the new set, never a
-        half-updated one."""
-        self._tombstones = self._tombstones | {int(d) for d in doc_ids}
-        return len(self._tombstones)
+        Rebinds the set instead of mutating in place so concurrent
+        search threads (`sorted(self._tombstones)`) always iterate a
+        complete set — CPython raises on a set that changes size
+        mid-iteration; the lock serializes WRITERS with each other
+        (two concurrent /delete requests would otherwise each union
+        against the same old set and the later rebind would drop the
+        earlier one's ids)."""
+        with self._tombstones_lock:
+            self._tombstones = self._tombstones | {int(d) for d in doc_ids}
+            return len(self._tombstones)
 
     def search_batch(self, queries: tuple[Query, ...],
                      hydrate: bool = False, mode: str = "or",
@@ -293,8 +298,19 @@ class SearchEngine:
         if self._tombstones:
             # the semantic leg ranks vec_ids == doc_ids; tombstoned docs
             # must not ride in through it (the lexical leg is masked
-            # inside search_batch)
-            c = c.where(~c.vec_id.isin(sorted(self._tombstones)))
+            # inside search_batch). Re-rank the survivors so their RRF
+            # weights match a fresh engine on the purged index — a
+            # filtered-out rank-1 must promote rank-2 to 1/(RRF_K+1),
+            # not leave a gap. (The leg still supplies one fewer
+            # candidate per tombstone in its top-k_each; exact parity
+            # would push the mask inside the IVF scan, not worth it for
+            # the purge-soon tombstone window.)
+            from pyspark.sql import Window
+            from pyspark.sql import functions as F
+            c = (c.where(~c.vec_id.isin(sorted(self._tombstones)))
+                 .withColumn("rank", F.row_number().over(
+                     Window.partitionBy("query_vec_id")
+                     .orderBy(F.col("cos").desc(), F.col("vec_id").asc()))))
         out = _fuse(self.spark, b, c, (("q", text, query_vec_id),),
                     k, RRF_K)
         if hydrate:

@@ -427,8 +427,8 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
 
     blocked = None
     if blocked_ids is not None:
-        blocked = np.unique(np.fromiter((int(d) for d in blocked_ids),
-                                        dtype=np.int64))
+        from ..index.packed import _as_sorted_ids
+        blocked = _as_sorted_ids(blocked_ids)
         if blocked.size == 0:
             blocked = None
     fn = _shard_topk(queries_meta, n_docs, avgdl, round_scores,

@@ -50,14 +50,17 @@ import time
 from functools import reduce
 from pathlib import Path
 
+import numpy as np
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.analyzer import term_tokens_df
 from ..plans.pipeline import LINEAGE_SCHEMA
-from ..index.packed import (PACKED_SCHEMA, _purge_segments,
-                            build_packed_postings, merge_packed,
-                            tombstone_doc_stats, with_global_df)
+from ..index.packed import (PACKED_SCHEMA, _as_sorted_ids,
+                            _purge_segments, build_packed_postings,
+                            merge_packed, tombstone_doc_stats,
+                            with_global_df)
 from ..sources.transcripts import TRANSCRIPT_SCHEMA
 
 _COLS = [f.name for f in PACKED_SCHEMA.fields]
@@ -170,7 +173,14 @@ class StreamingIndexer:
             # the redelivered batch is already folded in — skip (idempotent;
             # only valid because batch ids are monotone WITHIN a checkpoint,
             # which the identity guard above enforces)
-        base = int(meta["n_docs"])
+        # docID base is the MONOTONE high-water mark, not the live doc
+        # count: a tombstone compaction shrinks n_docs (the BM25 stats
+        # input) but must never shrink the id space — reusing a purged or
+        # live id would interleave posting runs (append splice fails
+        # loudly) or resurrect engine-side tombstones recorded against
+        # the old id. Legacy roots (pre-purge metas) never diverged, so
+        # n_docs is the correct default.
+        base = int(meta.get("next_doc_id", meta["n_docs"]))
         # docIDs continue the stable ordering WITHIN the batch; the source
         # must deliver conversations in non-decreasing order across batches
         # (append-only discipline). Single partition + local sort keeps the
@@ -193,7 +203,7 @@ class StreamingIndexer:
             tf_dl.unpersist()   # don't leak one cached frame per empty batch
             return
         sum_dl_new = dl.agg(F.sum("dl")).collect()[0][0] or 0
-        new_n = base + n_new
+        new_n = int(meta["n_docs"]) + n_new  # live count (stats input)
         new_sum = int(meta["sum_dl"]) + int(sum_dl_new)
         avgdl = new_sum / new_n
 
@@ -260,6 +270,7 @@ class StreamingIndexer:
             dead.append(man.pop()["path"])
         man.append({"path": seg_dir, "start_shard": int(start)})
         meta.update({"n_docs": new_n, "sum_dl": new_sum,
+                     "next_doc_id": base + n_new,
                      "generation": gen + 1, "batch_id": int(batch_id),
                      "manifest": man, "updated_at": time.time()})
         self._save_meta(meta)
@@ -289,10 +300,16 @@ class StreamingIndexer:
         runs). Purged segments re-encode only where a tombstone lands in
         their doc range (`packed._purge_segments`); term totals are
         rebuilt from the surviving segments, and the meta corpus stats
-        (n_docs / sum_dl, hence avgdl) shrink by the EXACT stats of the
-        tombstoned docs still present (`packed.tombstone_doc_stats`).
-        With tombstones, compaction proceeds even on a single-entry
-        manifest — there is real work regardless of read amplification.
+        (n_docs / sum_dl, hence avgdl) shrink by the stats of the
+        tombstoned docs still present (`packed.tombstone_doc_stats` —
+        exact for every doc with at least one posting; a doc whose text
+        analyzed to zero terms is undetectable from postings alone and
+        its n_docs slot survives, see the inline note). With tombstones
+        that actually purge something, compaction proceeds even on a
+        single-entry manifest; a no-op delete file on an already-compacted
+        root returns without the O(index) rewrite. The docID space stays
+        MONOTONE across purges (meta next_doc_id), so appends after a
+        purge never reuse a deleted or live id.
 
         Appends are O(batch) but leave one manifest entry (= one parquet
         directory, one plan branch in ``packed()``) per micro-batch, so an
@@ -333,44 +350,70 @@ class StreamingIndexer:
                     and p.name not in referenced
                     and _gen_of(p.name) <= cur_gen):
                 shutil.rmtree(p, ignore_errors=True)
-        tomb = sorted({int(d) for d in tombstones}) if tombstones else []
-        if len(man) <= 1 and not tomb:
+        tomb = (_as_sorted_ids(tombstones) if tombstones is not None
+                else np.empty(0, dtype=np.int64))
+        if len(man) <= 1 and not tomb.size:
             return {"compacted": False, "entries": len(man)}
         if not man:
             return {"compacted": False, "entries": 0}
         t0 = time.time()
         gen = int(meta["generation"]) + 1
         out_dir = f"segs_g{gen}"
-        src = self._segments(man)
-        n_del = dl_del = 0
-        if tomb:
-            import numpy as np
-            ts = np.array(tomb, dtype=np.int64)
-            # exact corpus-stat delta BEFORE the purge rewrites the rows
-            n_del, dl_del = tombstone_doc_stats(src, ts)
-            src = _purge_segments(src, ts)
-        seg = src.persist()
-        seg.write.mode("overwrite").parquet(str(self.root / out_dir))
-        n_segments = seg.count()
         old_tot = self.root / f"totals_g{meta['generation']}"
-        if tomb:
+        n_del = dl_del = 0
+        if tomb.size:
+            # ONE persisted scan feeds both the stats pass and the purge
+            # write (unpersisted, every compact-with-deletes would pay the
+            # O(index) parquet read twice)
+            src = self._segments(man).persist()
+            # exact corpus-stat delta BEFORE the purge rewrites the rows.
+            # Exact for every doc WITH postings; a doc whose text analyzed
+            # to zero terms leaves no posting to find, so its n_docs slot
+            # survives a purge (harmless drift in the avgdl denominator,
+            # bounded by the postingless-doc count; a doc store would be
+            # needed to detect them and this root keeps only aggregates).
+            n_del, dl_del = tombstone_doc_stats(src, tomb)
+            if n_del == 0 and len(man) <= 1:
+                # nothing to purge and no read amplification to fix
+                # (e.g. a cron re-run with an already-applied delete
+                # file): skip the O(index) rewrite entirely
+                src.unpersist()
+                return {"compacted": False, "entries": len(man),
+                        "purged_docs": 0}
+            _purge_segments(src, tomb) \
+                .write.mode("overwrite").parquet(str(self.root / out_dir))
+            src.unpersist()
+            # read the written output back for the count and the rebuilt
+            # totals (column-pruned scans of the new parquet — re-counting
+            # off the unpersisted purge plan would re-run the re-encode)
+            seg = self.spark.read.parquet(str(self.root / out_dir))
+            n_segments = seg.count()
             # totals must shrink with the purged postings: rebuild from
             # the surviving segments (vocabulary-sized, like any append)
             (seg.groupBy("term")
              .agg(F.sum("df").cast("long").alias("global_df"))
              .write.mode("overwrite")
              .parquet(str(self.root / f"totals_g{gen}")))
-        elif old_tot.is_dir():
-            # no deletes: carry totals forward under the new generation
-            # name (packed() resolves totals by generation; content is
-            # unchanged)
-            (self.spark.read.parquet(str(old_tot))
-             .write.mode("overwrite")
-             .parquet(str(self.root / f"totals_g{gen}")))
-        seg.unpersist()
+        else:
+            seg = self._segments(man).persist()
+            seg.write.mode("overwrite").parquet(str(self.root / out_dir))
+            n_segments = seg.count()
+            if old_tot.is_dir():
+                # no deletes: carry totals forward under the new
+                # generation name (packed() resolves totals by
+                # generation; content is unchanged)
+                (self.spark.read.parquet(str(old_tot))
+                 .write.mode("overwrite")
+                 .parquet(str(self.root / f"totals_g{gen}")))
+            seg.unpersist()
         dead = [e["path"] for e in man]
         meta.update({"generation": gen, "updated_at": time.time(),
                      "manifest": [{"path": out_dir, "start_shard": 0}],
+                     # id space stays monotone across purges: stamp the
+                     # high-water mark BEFORE shrinking the live count so
+                     # the next append never reuses a doc id
+                     "next_doc_id": int(meta.get("next_doc_id",
+                                                 meta["n_docs"])),
                      "n_docs": int(meta["n_docs"]) - n_del,
                      "sum_dl": int(meta["sum_dl"]) - dl_del})
         self._save_meta(meta)

@@ -292,7 +292,15 @@ def test_search_hybrid_rejects_unknown_vec(spark, index_root, tmp_path):
     meta_p.write_text(json.dumps({**m, "n_vecs": 1}))
     eng.warm_hybrid(emb_path, ivf_root)      # mismatched meta -> rewrite
     assert json.loads(meta_p.read_text())["n_vecs"] == 200
-    assert eng.search_hybrid("apple banana", query_vec_id=3, k=5)
+    rows = eng.search_hybrid("apple banana", query_vec_id=3, k=5)
+    assert rows
+    # tombstones mask the hybrid path too, and the semantic-leg survivors
+    # are re-ranked (contiguous ranks, no RRF-weight gap)
+    victim = rows[0]["doc_id"]
+    eng.delete_docs([victim])
+    after = eng.search_hybrid("apple banana", query_vec_id=3, k=5)
+    assert victim not in {r["doc_id"] for r in after}
+    assert sorted(r["rank"] for r in after) == list(range(1, len(after) + 1))
 
 
 def test_engine_delete_docs_masks_every_path(spark, index_root):

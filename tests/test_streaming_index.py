@@ -117,6 +117,34 @@ def test_compact_with_tombstones_purges_and_fixes_stats(spark, stream_root):
     assert gdf == dict(cnt)
 
     # re-compacting with the same tombstones finds nothing left to purge
+    # and SKIPS the O(index) rewrite (single-entry manifest, zero hits)
     res2 = indexer.compact(tombstones=tomb)
-    assert res2["compacted"] and res2["purged_docs"] == 0
+    assert res2 == {"compacted": False, "entries": 1, "purged_docs": 0}
     assert rows(unpack_to_rows(indexer.packed())) == after
+
+    # id space stays monotone across the purge: the recorded high-water
+    # mark must be the pre-purge doc count, not the shrunken live count
+    assert int(indexer._meta()["next_doc_id"]) == n0
+
+    # append AFTER the purge: new docIDs must continue from the monotone
+    # high-water mark, never reusing a purged or live id (reuse would
+    # interleave posting runs — the boundary splice fails loudly — or
+    # resurrect engine-side tombstones recorded against the old id)
+    import datetime
+    late = spark.createDataFrame(
+        [("convzzz00", i, "user", "apple banana quarantine epilogue",
+          "search", datetime.datetime(2024, 6, 1, 0, 0, i))
+         for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp")
+    late.coalesce(1).write.parquet(
+        str(Path(stream_root) / "in" / "part_late.parquet"))
+    q = indexer.start(read_transcript_stream(
+        spark, str(Path(stream_root) / "in")))
+    q.awaitTermination(120)
+    meta = indexer._meta()
+    assert int(meta["next_doc_id"]) == n0 + 4
+    assert int(meta["n_docs"]) == n1 + 4
+    appended = rows(unpack_to_rows(indexer.packed()))
+    new_ids = {r[1] for r in appended} - {r[1] for r in after}
+    assert new_ids == {n0, n0 + 1, n0 + 2, n0 + 3}
