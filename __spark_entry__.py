@@ -382,6 +382,25 @@ def _bm25_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "conv_rank", "conv_id", "doc_id", "score"))
 
 
+_PII_AUG_SQL = ("' contact user' || CAST(doc_id AS VARCHAR) || "
+                "'@example.com call 555-123-4567 from 10.0.0.' || "
+                "CAST(doc_id % 256 AS VARCHAR)")
+
+
+def _text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing gate: the synthetic corpus contains no PII, so the
+    entry plants a deterministic email / phone / IPv4 per doc (mirrored
+    verbatim in the oracle's SQL suffix) and asserts the redacted text
+    and per-category counts match DuckDB running the identical regexes."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select("doc_id", F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com call 555-123-4567 from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string")).alias("text"))
+    return TS.redact_pii(aug)
+
+
 def _text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram benchmark decontamination: flag corpus docs sharing any word
     3-gram with a held-out 'benchmark' slice (doc_id % 97 == 0 — a
@@ -652,6 +671,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords_bucketed": _doc_keywords_bucketed,
         "related_terms": _related_terms,
         "text_token_counts": lambda s, d: TS.token_counts(_docs(s, d)),
+        # NEW round 4: PII scrubbing + repetition quality gate
+        "text_redact_pii": _text_redact_pii,
+        "text_repetition": lambda s, d: TS.repetition_stats(_docs(s, d)),
         "text_unigram_logppl": lambda s, d: TS.unigram_logppl(
             _index(s, d, stem=True).term_doc_tf),
         "multimodal_frame_sample": lambda s, d: sample_frames(
@@ -797,6 +819,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords_bucketed": O.sql_doc_keywords(stem=True),
         "related_terms": O.sql_related_terms(stem=True),
         "text_token_counts": OM.sql_token_counts(),
+        "text_redact_pii": OM.sql_redact_pii(aug_suffix_sql=_PII_AUG_SQL),
+        "text_repetition": OM.sql_repetition_stats(),
         "text_unigram_logppl": O.sql_unigram_logppl(stem=True),
         "multimodal_frame_sample": OM.sql_frame_sample(),
         "multimodal_embed": OM.sql_embed_media(),

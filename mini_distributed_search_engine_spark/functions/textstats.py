@@ -53,6 +53,64 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
                        bpe.cast("long").alias("n_bpe_tokens"))
 
 
+# PII surface a curation pipeline must scrub before training. Patterns are
+# deliberately dialect-portable (no lookarounds): Java regex (Spark) and
+# RE2 (DuckDB) agree on \b, \d, character classes and bounded repetition,
+# so the oracle can run the IDENTICAL expressions. Applied in order on the
+# evolving string; the replacement tokens contain no digits or '@', so a
+# later pattern can never match inside an earlier redaction.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IPV4]"),
+)
+
+
+def redact_pii(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, text_redacted, n_email, n_phone, n_ipv4): PII-scrubbed
+    text plus per-category match counts (counted on the ORIGINAL text, so
+    overlapping categories each report their own hits). Pure codegen'd
+    regexp_replace / regexp_extract_all — a narrow map with no shuffle,
+    the ideal 100 TB shape; run it before anything trains on the text."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    red = txt
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(txt, F.lit(pat), F.lit(0)))
+                      .cast("long").alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, tok)
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       red.alias("text_redacted"), *counts)
+
+
+def repetition_stats(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, dup_word_frac, dup_bigram_frac): within-document
+    repetition ratios (1 - distinct/total over words and word bigrams) —
+    the classic boilerplate/degenerate-text quality gate (Gopher-style
+    repetition filters). Entirely array expressions over the normalized
+    token array (split / array_distinct / transform): one narrow pass,
+    no explode, no shuffle."""
+    toks = F.filter(F.split(normalize_text(F.col(text_col)), r"\s+"),
+                    lambda x: x != F.lit(""))
+    bigrams = F.transform(
+        F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1))
+        .otherwise(F.array().cast("array<int>")),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    nb = F.size(bigrams)
+    nbd = F.size(F.array_distinct(bigrams))
+    frac = lambda total, distinct: F.when(
+        total > 0, F.round(1.0 - distinct / total, 6)).otherwise(F.lit(0.0))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       n.cast("long").alias("n_words"),
+                       frac(n, nd).alias("dup_word_frac"),
+                       frac(nb, nbd).alias("dup_bigram_frac"))
+
+
 def doc_keywords(term_doc_tf: DataFrame, term_stats: DataFrame,
                  n_docs: int, topn: int = 5) -> DataFrame:
     """(doc_id, rank, term, tfidf): the top-n characteristic terms per doc

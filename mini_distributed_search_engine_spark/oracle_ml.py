@@ -397,6 +397,46 @@ SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS component
 FROM reach GROUP BY node"""
 
 
+def sql_redact_pii(aug_suffix_sql: str = "") -> str:
+    """Mirror of textstats.redact_pii — the IDENTICAL portable regexes
+    (Java regex and RE2 agree on every construct used), sequential
+    replacement, counts on the original text. ``aug_suffix_sql`` is a SQL
+    expression appended to each doc's text (the gate plants deterministic
+    PII so the redaction actually fires on the synthetic corpus)."""
+    from .functions.textstats import PII_PATTERNS
+    text = "coalesce(text, '')" + (f" || {aug_suffix_sql}"
+                                   if aug_suffix_sql else "")
+    red = "t"
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+        counts.append(f"CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT)"
+                      f" AS n_{name}")
+    return f"""
+WITH d AS (SELECT doc_id, {text} AS t FROM documents)
+SELECT doc_id, {red} AS text_redacted, {', '.join(counts)} FROM d"""
+
+
+def sql_repetition_stats() -> str:
+    """Mirror of textstats.repetition_stats over the same normalization."""
+    return f"""
+WITH base AS (SELECT doc_id,
+                     list_filter({_NORM}, x -> x <> '') AS tk
+              FROM documents),
+m AS (SELECT doc_id, tk,
+             list_transform(generate_series(1, len(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i + 1]) AS bg
+      FROM base)
+SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+       CASE WHEN len(tk) > 0
+            THEN round(1 - 1.0 * len(list_distinct(tk)) / len(tk), 6)
+            ELSE 0.0 END AS dup_word_frac,
+       CASE WHEN len(bg) > 0
+            THEN round(1 - 1.0 * len(list_distinct(bg)) / len(bg), 6)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM m"""
+
+
 def sql_token_counts() -> str:
     # same lookahead-free BPE-ish regex as textstats.BPE_TOKEN_RE; RE2 and
     # Java regex agree on leftmost-first alternation for it

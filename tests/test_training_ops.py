@@ -260,3 +260,22 @@ def test_decontaminate_shared_shingles_and_broadcast(spark, dup_docs):
     # the corpus-side shingle expansion never shuffles
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii_and_repetition_literals(spark):
+    from mini_distributed_search_engine_spark.functions.textstats import (
+        redact_pii, repetition_stats)
+    rows = [(0, "email me at bob@x.co or call 555-123-4567 at 10.0.0.7 ok"),
+            (1, "clean text no pii here"),
+            (2, "dup dup dup dup")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in redact_pii(docs).collect()}
+    assert r[0]["text_redacted"] == \
+        "email me at [EMAIL] or call [PHONE] at [IPV4] ok"
+    assert (r[0]["n_email"], r[0]["n_phone"], r[0]["n_ipv4"]) == (1, 1, 1)
+    assert r[1]["text_redacted"] == rows[1][1]
+    assert (r[1]["n_email"], r[1]["n_phone"], r[1]["n_ipv4"]) == (0, 0, 0)
+    s = {x["doc_id"]: x for x in repetition_stats(docs).collect()}
+    assert s[2]["n_words"] == 4 and s[2]["dup_word_frac"] == 0.75
+    assert s[2]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert s[1]["dup_word_frac"] == 0.0 and s[1]["dup_bigram_frac"] == 0.0
