@@ -613,21 +613,24 @@ _R4_WINDOW = (
     "flame_save_roundtrip", "dedup_minhash_sigs", "dedup_ngram_jaccard",
     "dedup_simhash", "embed_cosine_topk", "embed_lsh_ann_topk",
     "embed_near_dup_lsh",
-    # 28-35: new this round
+    # 28-37: new this round
     "bm25_topk_filtered_wand", "hybrid_rrf_ann_topk",
     "streaming_index_roundtrip", "dedup_components_star_deep",
     "doc_keywords_bucketed", "text_decontaminate",
     "packed_purge_roundtrip", "bm25_topk_tombstoned_wand",
-    # 36-41: implementation/oracle changed this round
+    "text_redact_pii", "text_repetition",
+    # 38-43: implementation/oracle changed this round
     "bm25_topk_wand", "bm25_topk_and_wand", "bm25_topk_filtered",
     "hybrid_rrf_topk", "pagerank_fixed", "pagerank_converged",
-    # 42-50: core-pipeline fill (bm25_topk_collapsed ceded its slot to
+    # 44-50: core-pipeline fill (bm25_topk_collapsed ceded its slot to
     # doc_keywords_bucketed — triple-green, a derived view of the
     # hydrated entry, which stays; transcripts/docs_stable_ids/
-    # index_lineage ceded theirs to the late-round trio above)
+    # index_lineage/doc_stats/term_positions ceded theirs to late-round
+    # entries — all triple-green, newest row r3, within the two-round
+    # freshness bound; phrase_match keeps positional-family coverage)
     "term_doc_tf", "term_stats",
-    "doc_stats", "bm25_topk", "bm25_topk_hydrated",
-    "term_positions", "phrase_match", "packed_roundtrip",
+    "bm25_topk", "bm25_topk_hydrated",
+    "phrase_match", "packed_roundtrip",
     "packed_incremental_roundtrip",
 )
 assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
