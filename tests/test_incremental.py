@@ -117,3 +117,13 @@ def test_purge_docs_roundtrip_and_untouched_bytes(spark, built):
     after = {(r["term"], r["shard_id"]): bytes(r["doc_gaps"])
              for r in purged.where("shard_id > 0").collect()}
     assert after == orig
+
+    # 4) full-segment deletion branch: tombstoning every doc of shard 0
+    #    removes all its segments (and their terms' postings) entirely
+    wiped = purge_docs(full_packed, range(SPAN))
+    assert wiped.where("shard_id = 0").count() == 0
+    got0 = _rows(unpack_to_rows(wiped).select("term", "doc_id", "tf", "dl"))
+    want0 = _rows(idx_full.term_doc_tf
+                  .where(F.col("doc_id") >= SPAN)
+                  .select("term", "doc_id", "tf", "dl"))
+    assert got0 == want0
