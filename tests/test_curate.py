@@ -30,3 +30,31 @@ def test_curate_quality_threshold_monotone(spark):
     _, loose = curate(spark, docs, langs=("en",), min_quality=0.0)
     _, tight = curate(spark, docs, langs=("en",), min_quality=0.8)
     assert tight["after_quality"] <= loose["after_quality"]
+
+
+def test_curate_full_funnel_with_decontam_and_redaction(spark):
+    from pyspark.sql import functions as F
+    from curate_job import curate
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant PII into a known doc so the redaction pass has work
+    docs = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 0,
+                       F.concat(F.col("text"), F.lit(" mail a@b.co now")))
+        .otherwise(F.col("text")))
+    bench = docs.where("doc_id % 11 = 0").select("doc_id", "text")
+    curated, rep = curate(spark, docs, langs=("en",), min_quality=0.0,
+                          max_repetition=0.95, benchmark=bench,
+                          decontam_k=3, redact=True)
+    assert (rep["docs_in"] >= rep["after_dedup"] >= rep["after_lang"]
+            >= rep["after_quality"] >= rep["after_repetition"]
+            >= rep["after_decontam"] > 0)
+    assert curated.count() == rep["after_decontam"]
+    assert curated.columns == docs.columns
+    # benchmark members (which share all their 3-grams with themselves)
+    # are gone whenever they survived the earlier stages
+    survivors = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert not survivors & {r["doc_id"] for r in bench.collect()}
+    # PII got scrubbed if doc 0 survived; either way no raw email remains
+    leaked = curated.where(F.col("text").rlike(
+        "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+")).count()
+    assert leaked == 0 and rep["pii_redactions"] >= 0
