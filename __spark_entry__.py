@@ -138,6 +138,13 @@ def _bm25_filtered_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wand_topk(spark, packed, idx.doc_stats, allowed_docs=allowed)
 
 
+def _tomb_ids(idx, mod: int = 13) -> list[int]:
+    """The deterministic tombstone set both delete-lifecycle gates use
+    (doc_id % mod == 0), collected — metadata-scale by construction."""
+    return [r["doc_id"] for r in idx.docs
+            .where(F.col("doc_id") % mod == 0).select("doc_id").collect()]
+
+
 def _bm25_tombstoned_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time tombstone masking: every doc with doc_id % 13 == 0 is
     deleted-but-not-yet-purged; the blocked set rides the kernel closure
@@ -148,9 +155,8 @@ def _bm25_tombstoned_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index(spark, sf_dir, stem=True)
     avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
     packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=256)
-    tomb = [r["doc_id"] for r in idx.docs.where(F.col("doc_id") % 13 == 0)
-            .select("doc_id").collect()]
-    return wand_topk(spark, packed, idx.doc_stats, blocked_ids=tomb)
+    return wand_topk(spark, packed, idx.doc_stats,
+                     blocked_ids=_tomb_ids(idx))
 
 
 def _bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,9 +316,7 @@ def _packed_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = merge_packed(
         build_packed_postings(idx.term_doc_tf, avgdl, shard_span=128),
         level_factor=4)
-    tomb = [r["doc_id"] for r in idx.docs.where(F.col("doc_id") % 13 == 0)
-            .select("doc_id").collect()]  # metadata-scale tombstone set
-    return unpack_to_rows(purge_docs(packed, tomb))
+    return unpack_to_rows(purge_docs(packed, _tomb_ids(idx)))
 
 
 def _streaming_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -433,7 +433,10 @@ def tombstone_doc_stats(packed: DataFrame, doc_ids) -> tuple[int, int]:
                     outs.append(pd.DataFrame({"doc_id": dec.doc_ids[hit],
                                               "dl": dec.dls[hit]}))
             if outs:
-                yield pd.concat(outs, ignore_index=True)
+                # partition-local dedup before the exchange: a doc hit by
+                # many terms in this batch shrinks to one row here, the
+                # global distinct() then only reconciles across partitions
+                yield pd.concat(outs, ignore_index=True).drop_duplicates()
 
     pairs = packed.mapInPandas(gen, "doc_id long, dl long").distinct()
     row = pairs.agg(F.count("*").alias("n"),

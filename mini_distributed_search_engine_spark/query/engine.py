@@ -151,13 +151,20 @@ class SearchEngine:
             self._tombstones = self._tombstones | {int(d) for d in doc_ids}
             return len(self._tombstones)
 
+    def _tomb(self) -> list[int] | None:
+        """Sorted tombstone snapshot for the query paths (None when
+        empty). Reads the rebound set once — safe against a concurrent
+        delete_docs (see its docstring)."""
+        t = self._tombstones
+        return sorted(t) if t else None
+
     def search_batch(self, queries: tuple[Query, ...],
                      hydrate: bool = False, mode: str = "or",
                      role: str | None = None) -> DataFrame:
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         conjunctive = mode == "and"
-        tomb = sorted(self._tombstones) if self._tombstones else None
+        tomb = self._tomb()
         if role is not None:
             # metadata-filtered retrieval: the allowed doc_ids are sharded
             # alongside the packed segments (wand.wand_topk allowed_docs —
@@ -295,7 +302,8 @@ class SearchEngine:
                                    n_centroids=n_centroids, n_probe=n_probe,
                                    centroids=self._cents,
                                    corpus_df=self._ivf_df)
-        if self._tombstones:
+        tomb = self._tomb()
+        if tomb is not None:
             # the semantic leg ranks vec_ids == doc_ids; tombstoned docs
             # must not ride in through it (the lexical leg is masked
             # inside search_batch). Re-rank the survivors so their RRF
@@ -307,7 +315,7 @@ class SearchEngine:
             # the purge-soon tombstone window.)
             from pyspark.sql import Window
             from pyspark.sql import functions as F
-            c = (c.where(~c.vec_id.isin(sorted(self._tombstones)))
+            c = (c.where(~c.vec_id.isin(tomb))
                  .withColumn("rank", F.row_number().over(
                      Window.partitionBy("query_vec_id")
                      .orderBy(F.col("cos").desc(), F.col("vec_id").asc()))))
@@ -335,8 +343,9 @@ class SearchEngine:
     def search_phrase(self, text: str, k: int = 10) -> list:
         """Exact phrase search; rows (rank, doc_id, n_occ)."""
         pos = self._positions_df()
-        if self._tombstones:
-            pos = pos.where(~pos.doc_id.isin(sorted(self._tombstones)))
+        tomb = self._tomb()
+        if tomb is not None:
+            pos = pos.where(~pos.doc_id.isin(tomb))
         df = phrase_match(self.spark, pos, (Query("q", text, k=k),))
         return df.orderBy("rank").collect()
 

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..index.packed import _as_sorted_ids
 from ..index.codec import (BLOCK, K1, block_ends_array, decode_postings,
                            tf_norm, varint_decode)
 from .bm25 import DEFAULT_QUERY_SET, Query, analyzed_query_terms
@@ -427,7 +428,6 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
 
     blocked = None
     if blocked_ids is not None:
-        from ..index.packed import _as_sorted_ids
         blocked = _as_sorted_ids(blocked_ids)
         if blocked.size == 0:
             blocked = None
