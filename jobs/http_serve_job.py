@@ -151,14 +151,30 @@ def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
                 if u.path == "/delete":
-                    if "ids" not in q:
-                        return self._json(400, {"err": "ids parameter "
-                                                "required (comma-separated "
-                                                "doc ids)"})
+                    # ids come from the query string (small ad-hoc
+                    # deletes) or a JSON body {"ids": [...]} — the stdlib
+                    # server caps the request LINE at 64 KB, so big
+                    # batches must ride the body
+                    raw = None
+                    n_body = int(self.headers.get("Content-Length") or 0)
+                    if n_body:
+                        try:
+                            body = json.loads(self.rfile.read(n_body))
+                            raw = body.get("ids")
+                        except (ValueError, AttributeError):
+                            return self._json(
+                                400, {"err": "body must be JSON like "
+                                      '{"ids": [1, 2, 3]}'})
+                    elif "ids" in q:
+                        raw = q["ids"].split(",")
+                    if raw is None:
+                        return self._json(400, {"err": "ids required: "
+                                                "?ids=1,2,3 or a JSON "
+                                                'body {"ids": [...]}'})
                     try:
-                        ids = [int(x) for x in q["ids"].split(",")
-                               if x.strip()]
-                    except ValueError:
+                        ids = [int(x) for x in raw
+                               if str(x).strip()]
+                    except (TypeError, ValueError):
                         return self._json(400,
                                           {"err": "ids must be integers"})
                     if not 0 < len(ids) <= 100_000:

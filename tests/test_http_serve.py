@@ -106,3 +106,17 @@ def test_delete_route(http_base):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{http_base}/delete?ids=1")
     assert e.value.code == 404
+    # JSON-body form (the big-batch path: the request LINE caps at 64 KB)
+    req = urllib.request.Request(
+        f"{http_base}/delete", method="POST",
+        data=json.dumps({"ids": [victim, victim + 1]}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        d = json.loads(resp.read())
+    assert resp.status == 200 and d["deleted"] == 2
+    req = urllib.request.Request(f"{http_base}/delete", method="POST",
+                                 data=b"not json",
+                                 headers={"Content-Length": "8"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=120)
+    assert e.value.code == 400
