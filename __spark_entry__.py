@@ -484,6 +484,32 @@ def _ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _ivf_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: build the partitioned layout from the
+    FIRST half of the embeddings, append the second half against the
+    frozen centroids (`ivf_append_partitioned` — O(new vectors), only
+    touched partition dirs gain files), then query. Same oracle as the
+    one-shot layout: the ingestion path changes, the ranks must not.
+    (The seed centroids, vec_id < n_centroids, live in the first half by
+    construction, so the frozen frame equals the oracle's.)"""
+    import shutil
+    import tempfile
+    emb = _emb(spark, sf_dir)
+    half = emb.agg(F.max("vec_id")).collect()[0][0] // 2
+    cents = S._resolve_centroids(emb, S.N_CENTROIDS, None)
+    root = tempfile.mkdtemp(prefix="mdse_ivf_append_")
+    try:
+        S.ivf_write_partitioned(
+            S.ivf_assign(emb.where(F.col("vec_id") <= half),
+                         centroids=cents), root)
+        S.ivf_append_partitioned(emb.where(F.col("vec_id") > half),
+                                 root, centroids=cents)
+        out = S.ivf_partitioned_topk(spark, root, emb, centroids=cents)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+semantic retrieval: BM25 and embedding-cosine
     candidate lists fused with RRF (K=60)."""
@@ -622,7 +648,7 @@ _R4_WINDOW = (
     "streaming_index_roundtrip", "dedup_components_star_deep",
     "doc_keywords_bucketed", "text_decontaminate",
     "packed_purge_roundtrip", "bm25_topk_tombstoned_wand",
-    "text_redact_pii", "text_repetition",
+    "text_redact_pii", "text_repetition", "embed_ivf_append_topk",
     # 38-43: implementation/oracle changed this round
     "bm25_topk_wand", "bm25_topk_and_wand", "bm25_topk_filtered",
     "hybrid_rrf_topk", "pagerank_fixed", "pagerank_converged",
@@ -632,7 +658,7 @@ _R4_WINDOW = (
     # index_lineage/doc_stats/term_positions ceded theirs to late-round
     # entries — all triple-green, newest row r3, within the two-round
     # freshness bound; phrase_match keeps positional-family coverage)
-    "term_doc_tf", "term_stats",
+    "term_doc_tf",
     "bm25_topk", "bm25_topk_hydrated",
     "phrase_match", "packed_roundtrip",
     "packed_incremental_roundtrip",
@@ -740,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf_ann_topk": lambda s, d: S.ivf_ann_topk(_emb(s, d)),
         # NEW round 3: partition-pruned at-rest IVF layout, same rank oracle
         "embed_ivf_partitioned_topk": _ivf_partitioned_topk,
+        # NEW round 4: incremental IVF append, same rank oracle again
+        "embed_ivf_append_topk": _ivf_append_topk,
         # iterative Lloyd loop, oracle = the same loop unrolled as SQL CTEs
         "embed_kmeans_centroids": lambda s, d: (
             S.kmeans_fit(_emb(s, d))
@@ -944,6 +972,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components_star_deep": OM.sql_components_deep_path(),
         "embed_ivf_ann_topk": OM.sql_ivf_ann_topk(),
         "embed_ivf_partitioned_topk": OM.sql_ivf_ann_topk(),
+        "embed_ivf_append_topk": OM.sql_ivf_ann_topk(),
         "embed_kmeans_centroids": OM.sql_kmeans_centroids(),
         "hybrid_rrf_topk": OM.sql_hybrid_topk(),
         "hybrid_rrf_ann_topk": OM.sql_hybrid_topk(ann=True),

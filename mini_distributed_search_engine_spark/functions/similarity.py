@@ -309,6 +309,25 @@ def ivf_write_partitioned(assigned: DataFrame, path: str) -> None:
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
+def ivf_append_partitioned(new_embeddings: DataFrame, path: str,
+                           centroids: DataFrame,
+                           n_centroids: int = N_CENTROIDS) -> None:
+    """Fold NEW vectors into an existing centroid_id-partitioned IVF
+    layout WITHOUT rebuilding it — the ANN side of the LSM append
+    discipline. New vectors are assigned against the layout's FROZEN
+    centroid frame (pass the one the layout was built with; standard IVF
+    maintenance re-fits centroids only at the next full rebuild, and
+    re-deriving them from a grown corpus would silently shift every
+    existing assignment), then appended to their partition directories:
+    `mode=append` + `partitionBy` writes only new files under the
+    touched centroid dirs, existing files untouched. Cost O(new
+    vectors); queries over the layout see old + new rows identically
+    (`ivf_partitioned_topk` is layout-agnostic within a partition)."""
+    assigned = ivf_assign(new_embeddings, n_centroids, centroids)
+    (assigned.select("vec_id", "embedding", "centroid_id")
+     .write.mode("append").partitionBy("centroid_id").parquet(path))
+
+
 def ivf_partitioned_topk(spark, path: str, embeddings: DataFrame,
                          query_ids: tuple[int, ...] = (0, 1, 2), k: int = 10,
                          n_centroids: int = N_CENTROIDS,

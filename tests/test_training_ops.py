@@ -279,3 +279,30 @@ def test_redact_pii_and_repetition_literals(spark):
     assert s[2]["n_words"] == 4 and s[2]["dup_word_frac"] == 0.75
     assert s[2]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
     assert s[1]["dup_word_frac"] == 0.0 and s[1]["dup_bigram_frac"] == 0.0
+
+
+def test_ivf_append_only_adds_files(spark, tmp_path):
+    """ivf_append_partitioned must leave every pre-existing data file
+    untouched (LSM append discipline) and the appended layout must rank
+    identically to a one-shot build."""
+    import numpy as np
+    from pathlib import Path
+    rng = np.random.default_rng(9)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)])
+         for i in range(120)], "vec_id long, embedding array<float>")
+    cents = S._resolve_centroids(emb, S.N_CENTROIDS, None)
+    root = str(tmp_path / "ivf_app")
+    S.ivf_write_partitioned(
+        S.ivf_assign(emb.where("vec_id < 60"), centroids=cents), root)
+    before = {p for p in Path(root).rglob("*.parquet")}
+    S.ivf_append_partitioned(emb.where("vec_id >= 60"), root,
+                             centroids=cents)
+    after = {p for p in Path(root).rglob("*.parquet")}
+    assert before < after  # strictly grew; nothing removed
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    got = rows(S.ivf_partitioned_topk(spark, root, emb, centroids=cents))
+    one = str(tmp_path / "ivf_one")
+    S.ivf_write_partitioned(S.ivf_assign(emb, centroids=cents), one)
+    want = rows(S.ivf_partitioned_topk(spark, one, emb, centroids=cents))
+    assert got == want and got
