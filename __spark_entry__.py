@@ -159,6 +159,20 @@ def _bm25_tombstoned_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
                      blocked_ids=_tomb_ids(idx))
 
 
+def _bm25_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity-boosted retrieval: BM25 + pairwise min-distance bonus
+    over the positional index (query/proximity.py) — term closeness
+    breaks ties, docs with scattered terms rank below docs with adjacent
+    ones. Single-term matches keep OR semantics (bonus 0)."""
+    from mini_distributed_search_engine_spark.query.proximity import (
+        bm25_topk_proximity)
+    idx = _index(spark, sf_dir, stem=True)
+    docs = with_stable_doc_ids(transcripts_from_documents(spark, sf_dir))
+    pos = term_positions_pandas(docs, "text", stem=True)
+    return bm25_topk_proximity(spark, idx.term_doc_tf, idx.term_stats,
+                               idx.doc_stats, pos)
+
+
 def _bm25_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) retrieval: doc must contain every analyzed query
     term — the declarative posting-list-intersection path."""
@@ -649,6 +663,7 @@ _R4_WINDOW = (
     "doc_keywords_bucketed", "text_decontaminate",
     "packed_purge_roundtrip", "bm25_topk_tombstoned_wand",
     "text_redact_pii", "text_repetition", "embed_ivf_append_topk",
+    "bm25_topk_proximity",
     # 38-43: implementation/oracle changed this round
     "bm25_topk_wand", "bm25_topk_and_wand", "bm25_topk_filtered",
     "hybrid_rrf_topk", "pagerank_fixed", "pagerank_converged",
@@ -661,7 +676,6 @@ _R4_WINDOW = (
     "term_doc_tf",
     "bm25_topk", "bm25_topk_hydrated",
     "phrase_match", "packed_roundtrip",
-    "packed_incremental_roundtrip",
 )
 assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
 
@@ -739,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_filtered_wand": _bm25_filtered_wand,
         # NEW round 4: tombstoned retrieval (deletes visible pre-compaction)
         "bm25_topk_tombstoned_wand": _bm25_tombstoned_wand,
+        # NEW round 4: proximity-boosted ranking over the positional index
+        "bm25_topk_proximity": _bm25_proximity,
         "bm25_topk_collapsed": _bm25_collapsed,
         "bm25_topk_wand": _bm25_wand,
         "bm25_topk_and_wand": _bm25_and_wand,
@@ -885,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
             stem=True, doc_filter_sql="fd.role = 'user'"),
         "bm25_topk_tombstoned_wand": O.sql_bm25_topk(
             stem=True, doc_filter_sql="fd.doc_id % 13 <> 0"),
+        "bm25_topk_proximity": O.sql_bm25_topk_proximity(stem=True),
         "bm25_topk_collapsed": O.sql_bm25_collapsed(stem=True),
         "bm25_topk_wand": O.sql_bm25_topk(stem=True),
         "bm25_topk_and": O.sql_bm25_topk_conjunctive(stem=True),

@@ -290,6 +290,60 @@ SELECT query_id, rank, doc_id, score
 FROM ranked WHERE rank <= k"""
 
 
+def sql_bm25_topk_proximity(stem: bool = True,
+                            queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
+                            w: float = 1.0) -> str:
+    """Mirror of query/proximity.py::bm25_topk_proximity: BM25 + w * sum
+    over unordered query-term pairs of 1/(1 + min |pos_a - pos_b|).
+    Composes the analyzer chain with the positional chain (CTE names are
+    disjoint by construction) and LEFT-joins the bonus so single-term
+    matches keep OR semantics with bonus 0."""
+    pos_tail = _positions_ctes(stem).split("rawl AS", 1)[1]
+    return analyzed_terms_ctes(stem) + f""", rawl AS {pos_tail},
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM docs) AS n_docs,
+         (SELECT avg(coalesce(dl.dl, 0))
+          FROM docs d LEFT JOIN dl USING (doc_id)) AS avgdl),
+tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+qterms(query_id, term, k) AS (VALUES {qterms_values(queries, stem)}),
+contrib AS (
+  SELECT q.query_id, q.k, tf.doc_id,
+         ln(1.0 + (s.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS c
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN tstats ts ON ts.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scores0 AS (SELECT query_id, k, doc_id, sum(c) AS raw
+            FROM contrib GROUP BY 1, 2, 3),
+qpos AS (SELECT q.query_id, sq.doc_id, sq.term, sq.pos
+         FROM qterms q JOIN seq sq ON sq.term = q.term),
+pairmin AS (
+  SELECT a.query_id, a.doc_id, a.term AS t1, b.term AS t2,
+         min(abs(a.pos - b.pos)) AS d
+  FROM qpos a JOIN qpos b
+    ON b.query_id = a.query_id AND b.doc_id = a.doc_id AND a.term < b.term
+  GROUP BY 1, 2, 3, 4),
+bonus AS (SELECT query_id, doc_id, sum(1.0 / (1 + d)) AS bns
+          FROM pairmin GROUP BY 1, 2),
+scores AS (
+  SELECT s.query_id, s.k, s.doc_id,
+         round(s.raw + {w} * coalesce(b.bns, 0), 6) AS score
+  FROM scores0 s LEFT JOIN bonus b
+    ON b.query_id = s.query_id AND b.doc_id = s.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score, k,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+  FROM scores)
+SELECT query_id, rank, doc_id, score
+FROM ranked WHERE rank <= k"""
+
+
 def sql_bm25_topk_conjunctive(stem: bool = True,
                               queries: tuple[Query, ...] = AND_QUERY_SET) -> str:
     """AND semantics: doc must contain every analyzed query term."""

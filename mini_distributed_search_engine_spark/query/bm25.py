@@ -64,6 +64,38 @@ def analyzed_query_terms(queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
     return rows
 
 
+def _bm25_raw_scores(spark: SparkSession, term_doc_tf: DataFrame,
+                     term_stats: DataFrame, doc_stats: DataFrame,
+                     qrows: list, allowed_docs: DataFrame | None = None
+                     ) -> DataFrame:
+    """(query_id, k, doc_id, raw_score): the shared BM25 scoring core —
+    literal term IN-list prune, broadcast query/stats joins, partial-agg
+    contribution sum. bm25_topk ranks this directly; the proximity
+    variant adds its bonus before ranking."""
+    qterms = spark.createDataFrame(qrows, "query_id string, term string, k int")
+    stats = doc_stats.collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+
+    # Literal IN-list on term BEFORE the joins: unlike a join, a literal
+    # predicate prunes parquet row-groups (PushedFilters) and in-memory
+    # cache batches by min/max stats — the Spark-native analogue of the
+    # reference's per-term KVS point lookup (Searcher.java:163).
+    term_list = sorted({t for _, t, _ in qrows})
+    pruned = term_doc_tf.where(F.col("term").isin(term_list))
+    sel = pruned.join(F.broadcast(qterms), "term")
+    sel = sel.join(F.broadcast(term_stats.where(F.col("term").isin(term_list))),
+                   "term")
+    if allowed_docs is not None:
+        sel = sel.join(allowed_docs.select("doc_id"), "doc_id", "semi")
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf_part = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl))))
+    return (sel.withColumn("contrib", idf * tf_part)
+            .groupBy("query_id", "k", "doc_id")
+            .agg(F.sum("contrib").alias("raw_score")))
+
+
 def bm25_topk(spark: SparkSession, term_doc_tf: DataFrame,
               term_stats: DataFrame, doc_stats: DataFrame,
               queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
@@ -87,28 +119,8 @@ def bm25_topk(spark: SparkSession, term_doc_tf: DataFrame,
     qrows = analyzed_query_terms(queries, stem=stem)
     if not qrows:
         qrows = [("__none__", "__none__", 0)]
-    qterms = spark.createDataFrame(qrows, "query_id string, term string, k int")
-    stats = doc_stats.collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-
-    # Literal IN-list on term BEFORE the joins: unlike a join, a literal
-    # predicate prunes parquet row-groups (PushedFilters) and in-memory
-    # cache batches by min/max stats — the Spark-native analogue of the
-    # reference's per-term KVS point lookup (Searcher.java:163).
-    term_list = sorted({t for _, t, _ in qrows})
-    pruned = term_doc_tf.where(F.col("term").isin(term_list))
-    sel = pruned.join(F.broadcast(qterms), "term")
-    sel = sel.join(F.broadcast(term_stats.where(F.col("term").isin(term_list))),
-                   "term")
-    if allowed_docs is not None:
-        sel = sel.join(allowed_docs.select("doc_id"), "doc_id", "semi")
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5)))
-    tf_part = (F.col("tf") * (K1 + 1.0)) / (
-        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(float(avgdl))))
-    scored = (sel.withColumn("contrib", idf * tf_part)
-              .groupBy("query_id", "k", "doc_id")
-              .agg(F.sum("contrib").alias("raw_score")))
+    scored = _bm25_raw_scores(spark, term_doc_tf, term_stats, doc_stats,
+                              qrows, allowed_docs)
     # Rank on the ROUNDED score when rounding is requested: float association
     # order differs between engines/plans, so two structurally-near-tied docs
     # can swap raw order by 1 ulp — ranking on the rounded value plus the

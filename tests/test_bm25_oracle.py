@@ -67,3 +67,35 @@ def test_distributed_synthesizer_matches_local(spark):
     assert a == b
     assert len(a) == 32
     assert [r["role"] for r in a[:4]] == ["user", "assistant", "system", "tool"]
+
+
+def test_proximity_promotes_adjacent_terms(spark):
+    """Two docs with IDENTICAL BM25 scores (same tf/dl): the one whose
+    query terms are adjacent must outrank the scattered one, and a
+    single-term match keeps its plain BM25 rank with bonus 0."""
+    from mini_distributed_search_engine_spark.query.bm25 import Query
+    from mini_distributed_search_engine_spark.query.proximity import (
+        bm25_topk_proximity)
+    tf = spark.createDataFrame(
+        [("apple", 0, 1, 4), ("banana", 0, 1, 4), ("pad", 0, 2, 4),
+         ("apple", 1, 1, 4), ("banana", 1, 1, 4), ("pad", 1, 2, 4)],
+        "term string, doc_id long, tf long, dl long")
+    ts = spark.createDataFrame([("apple", 2), ("banana", 2), ("pad", 2)],
+                               "term string, df long")
+    ds = spark.createDataFrame([(2, 4.0)], "n_docs long, avgdl double")
+    pos = spark.createDataFrame(
+        [(0, "apple", 0), (0, "banana", 1), (0, "pad", 2), (0, "pad", 3),
+         (1, "apple", 0), (1, "pad", 1), (1, "pad", 2), (1, "banana", 3)],
+        "doc_id long, term string, pos int")
+    out = {(r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+           for r in bm25_topk_proximity(
+               spark, tf, ts, ds, pos,
+               queries=(Query("q", "apple banana", k=5),
+                        Query("s", "apple", k=5)),
+               stem=False).collect()}
+    # adjacent (doc 0, dist 1 -> bonus 0.5) beats scattered (doc 1,
+    # dist 3 -> bonus 0.25); same BM25 base
+    assert out[("q", 1)][0] == 0 and out[("q", 2)][0] == 1
+    assert out[("q", 1)][1] - out[("q", 2)][1] == pytest.approx(0.25, abs=1e-6)
+    # single-term query: equal scores, doc_id tie-break, no bonus applied
+    assert out[("s", 1)][0] == 0 and out[("s", 1)][1] == out[("s", 2)][1]
