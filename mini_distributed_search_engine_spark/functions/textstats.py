@@ -62,7 +62,11 @@ def token_counts(docs: DataFrame, id_col: str = "doc_id",
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "[EMAIL]"),
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IPV4]"),
+    # valid octets only (0-255): a naive \d{1,3} quad also eats semver-ish
+    # strings like '1.2.3.400' — over-redaction the curation funnel should
+    # not inflict on non-PII text (ADVICE r4)
+    ("ipv4", r"\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+             r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b", "[IPV4]"),
 )
 
 

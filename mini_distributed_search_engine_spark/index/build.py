@@ -282,7 +282,24 @@ def _merge_descriptor(spark, path: str, buckets: int,
             "buckets": buckets,
         }
     Path(path).mkdir(parents=True, exist_ok=True)
-    p.write_text(json.dumps(desc, indent=1))
+    # atomic replace: a crash mid-write must never leave a truncated
+    # descriptor that register_bucketed can no longer parse, and two
+    # writer jobs sharing the root each publish a complete file (the
+    # last full merge wins — same discipline as a parquet _SUCCESS
+    # commit, without inventing a lock protocol for a JSON sidecar)
+    import os
+    import tempfile
+    fd, tmp = tempfile.mkstemp(dir=path, prefix="_bucketed.", suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(desc, indent=1))
+        os.replace(tmp, p)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def write_tf_doc_bucketed(term_doc_tf: DataFrame, table_prefix: str,

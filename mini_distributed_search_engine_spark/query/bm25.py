@@ -66,15 +66,23 @@ def analyzed_query_terms(queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
 
 def _bm25_raw_scores(spark: SparkSession, term_doc_tf: DataFrame,
                      term_stats: DataFrame, doc_stats: DataFrame,
-                     qrows: list, allowed_docs: DataFrame | None = None
+                     qrows: list, allowed_docs: DataFrame | None = None,
+                     corpus_stats: tuple[int, float] | None = None
                      ) -> DataFrame:
     """(query_id, k, doc_id, raw_score): the shared BM25 scoring core —
     literal term IN-list prune, broadcast query/stats joins, partial-agg
     contribution sum. bm25_topk ranks this directly; the proximity
-    variant adds its bonus before ranking."""
+    variant adds its bonus before ranking.
+
+    ``corpus_stats=(n_docs, avgdl)`` (e.g. cached by SearchEngine at
+    warmup) skips the per-call one-row doc_stats collect — without it
+    every exhaustive query pays a blocking driver job before the real
+    scan even starts (same contract as wand.wand_topk)."""
     qterms = spark.createDataFrame(qrows, "query_id string, term string, k int")
-    stats = doc_stats.collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if corpus_stats is None:
+        stats = doc_stats.collect()[0]
+        corpus_stats = (int(stats["n_docs"]), float(stats["avgdl"]))
+    n_docs, avgdl = corpus_stats
 
     # Literal IN-list on term BEFORE the joins: unlike a join, a literal
     # predicate prunes parquet row-groups (PushedFilters) and in-memory
@@ -101,7 +109,8 @@ def bm25_topk(spark: SparkSession, term_doc_tf: DataFrame,
               queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
               stem: bool = True,
               round_scores: int | None = 6,
-              allowed_docs: DataFrame | None = None) -> DataFrame:
+              allowed_docs: DataFrame | None = None,
+              corpus_stats: tuple[int, float] | None = None) -> DataFrame:
     """Exact BM25 top-k for a query set.
 
     Returns (query_id, rank, doc_id, score); score rounded to
@@ -120,7 +129,7 @@ def bm25_topk(spark: SparkSession, term_doc_tf: DataFrame,
     if not qrows:
         qrows = [("__none__", "__none__", 0)]
     scored = _bm25_raw_scores(spark, term_doc_tf, term_stats, doc_stats,
-                              qrows, allowed_docs)
+                              qrows, allowed_docs, corpus_stats=corpus_stats)
     # Rank on the ROUNDED score when rounding is requested: float association
     # order differs between engines/plans, so two structurally-near-tied docs
     # can swap raw order by 1 ulp — ranking on the rounded value plus the
@@ -153,7 +162,9 @@ def bm25_topk_conjunctive(spark: SparkSession, term_doc_tf: DataFrame,
                           term_stats: DataFrame, doc_stats: DataFrame,
                           queries: tuple[Query, ...] = AND_QUERY_SET,
                           stem: bool = True,
-                          round_scores: int | None = 6) -> DataFrame:
+                          round_scores: int | None = 6,
+                          corpus_stats: tuple[int, float] | None = None
+                          ) -> DataFrame:
     """Conjunctive (AND) BM25 top-k: a doc qualifies only if it contains
     EVERY analyzed query term (posting-list intersection semantics); ranking
     among qualifying docs is the same BM25 sum with the same tie-break.
@@ -168,8 +179,10 @@ def bm25_topk_conjunctive(spark: SparkSession, term_doc_tf: DataFrame,
     if not qrows:
         qrows = [("__none__", "__none__", 0)]
     qterms = spark.createDataFrame(qrows, "query_id string, term string, k int")
-    stats = doc_stats.collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    if corpus_stats is None:
+        stats = doc_stats.collect()[0]
+        corpus_stats = (int(stats["n_docs"]), float(stats["avgdl"]))
+    n_docs, avgdl = corpus_stats
     term_list = sorted({t for _, t, _ in qrows})
     nterms = {}
     for q, _, _ in qrows:

@@ -158,6 +158,22 @@ class SearchEngine:
         t = self._tombstones
         return sorted(t) if t else None
 
+    # Above this many live tombstones, DataFrame-side masking switches
+    # from a literal NOT IN (Catalyst folds it into the scan filter, zero
+    # extra exchange) to a broadcast anti-join: a literal list that grows
+    # without bound across /delete requests bloats the plan and can hit
+    # codegen/driver limits long before purge_docs compacts (ADVICE r4).
+    # The packed path is unaffected — its mask rides the task closure.
+    _TOMB_ISIN_MAX = 2048
+
+    def _mask_tomb(self, df: DataFrame, col: str, tomb: list[int]) -> DataFrame:
+        from pyspark.sql import functions as F
+        if len(tomb) <= self._TOMB_ISIN_MAX:
+            return df.where(~F.col(col).isin(tomb))
+        ids = F.broadcast(self.spark.createDataFrame(
+            [(int(t),) for t in tomb], f"{col} long"))
+        return df.join(ids, col, "left_anti")
+
     def search_batch(self, queries: tuple[Query, ...],
                      hydrate: bool = False, mode: str = "or",
                      role: str | None = None) -> DataFrame:
@@ -176,7 +192,7 @@ class SearchEngine:
             if tomb is not None and not self.use_packed:
                 # exhaustive path has no kernel mask: shrink the allowed
                 # side instead (same semantics — blocked docs can't rank)
-                allowed = allowed.where(~F.col("doc_id").isin(tomb))
+                allowed = self._mask_tomb(allowed, "doc_id", tomb)
             if self.use_packed:
                 if self._shard_bounds is None:
                     self._shard_bounds = compute_shard_bounds(self.packed)
@@ -194,7 +210,8 @@ class SearchEngine:
                 self._ensure_tf()
                 out = bm25_topk(self.spark, self.tf, self.term_stats,
                                 self.doc_stats, queries=queries,
-                                allowed_docs=allowed)
+                                allowed_docs=allowed,
+                                corpus_stats=self._corpus_stats)
         elif self.use_packed:
             out = wand_topk(self.spark, self.packed, self.doc_stats,
                             queries=queries,
@@ -202,14 +219,16 @@ class SearchEngine:
                             conjunctive=conjunctive,
                             blocked_ids=tomb)
         else:
-            tf = self.tf if tomb is None else self.tf.where(
-                ~self.tf.doc_id.isin(tomb))
+            tf = self.tf if tomb is None else self._mask_tomb(
+                self.tf, "doc_id", tomb)
             if conjunctive:
                 out = bm25_topk_conjunctive(self.spark, tf, self.term_stats,
-                                            self.doc_stats, queries=queries)
+                                            self.doc_stats, queries=queries,
+                                            corpus_stats=self._corpus_stats)
             else:
                 out = bm25_topk(self.spark, tf, self.term_stats,
-                                self.doc_stats, queries=queries)
+                                self.doc_stats, queries=queries,
+                                corpus_stats=self._corpus_stats)
         if hydrate:
             out = self._hydrate(out, "score")
         return out
@@ -315,7 +334,7 @@ class SearchEngine:
             # the purge-soon tombstone window.)
             from pyspark.sql import Window
             from pyspark.sql import functions as F
-            c = (c.where(~c.vec_id.isin(tomb))
+            c = (self._mask_tomb(c, "vec_id", tomb)
                  .withColumn("rank", F.row_number().over(
                      Window.partitionBy("query_vec_id")
                      .orderBy(F.col("cos").desc(), F.col("vec_id").asc()))))
@@ -345,7 +364,7 @@ class SearchEngine:
         pos = self._positions_df()
         tomb = self._tomb()
         if tomb is not None:
-            pos = pos.where(~pos.doc_id.isin(tomb))
+            pos = self._mask_tomb(pos, "doc_id", tomb)
         df = phrase_match(self.spark, pos, (Query("q", text, k=k),))
         return df.orderBy("rank").collect()
 

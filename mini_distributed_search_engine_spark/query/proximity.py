@@ -34,7 +34,9 @@ def bm25_topk_proximity(spark: SparkSession, term_doc_tf: DataFrame,
                         positions: DataFrame,
                         queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
                         stem: bool = True, w: float = PROX_W,
-                        round_scores: int | None = 6) -> DataFrame:
+                        round_scores: int | None = 6,
+                        corpus_stats: tuple[int, float] | None = None
+                        ) -> DataFrame:
     """(query_id, rank, doc_id, score): BM25 + pairwise proximity bonus.
 
     ``positions``: the positional index (doc_id, term, pos) — the same
@@ -46,7 +48,8 @@ def bm25_topk_proximity(spark: SparkSession, term_doc_tf: DataFrame,
     qrows = analyzed_query_terms(queries, stem=stem)
     if not qrows:
         qrows = [("__none__", "__none__", 0)]
-    raw = _bm25_raw_scores(spark, term_doc_tf, term_stats, doc_stats, qrows)
+    raw = _bm25_raw_scores(spark, term_doc_tf, term_stats, doc_stats, qrows,
+                           corpus_stats=corpus_stats)
 
     term_list = sorted({t for _, t, _ in qrows})
     qterms = spark.createDataFrame(qrows, "query_id string, term string, k int")
