@@ -176,7 +176,13 @@ class SearchEngine:
 
     def search_batch(self, queries: tuple[Query, ...],
                      hydrate: bool = False, mode: str = "or",
-                     role: str | None = None) -> DataFrame:
+                     role: str | None = None,
+                     final_rank: str = "window") -> DataFrame:
+        """``final_rank="driver"`` (packed paths only; ignored by the
+        exhaustive fallback) heap-merges the per-shard top-k driver-side
+        instead of the global rank window — one fewer exchange + stage
+        per request, rank-identical (see wand.wand_topk). Eager, so meant
+        for serving calls that collect immediately."""
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         conjunctive = mode == "and"
@@ -202,7 +208,8 @@ class SearchEngine:
                                 conjunctive=conjunctive,
                                 allowed_docs=allowed,
                                 shard_bounds=self._shard_bounds,
-                                blocked_ids=tomb)
+                                blocked_ids=tomb,
+                                final_rank=final_rank)
             elif conjunctive:
                 raise ValueError(
                     "role filter with mode='and' needs the packed index")
@@ -217,7 +224,8 @@ class SearchEngine:
                             queries=queries,
                             corpus_stats=self._corpus_stats,
                             conjunctive=conjunctive,
-                            blocked_ids=tomb)
+                            blocked_ids=tomb,
+                            final_rank=final_rank)
         else:
             tf = self.tf if tomb is None else self._mask_tomb(
                 self.tf, "doc_id", tomb)
@@ -248,9 +256,15 @@ class SearchEngine:
 
     def search(self, text: str, k: int = 10, hydrate: bool = True,
                mode: str = "or", role: str | None = None) -> list:
+        # single-query serving: the driver heap merge replaces the global
+        # rank window (one fewer exchange + stage; we collect right away,
+        # so the eager semantics cost nothing)
+        fr = "driver" if self.use_packed else "window"
         df = self.search_batch((Query("q", text, k=k),), hydrate=hydrate,
-                               mode=mode, role=role)
-        return df.orderBy("rank").collect()
+                               mode=mode, role=role, final_rank=fr)
+        # client-side sort of <= k rows: an orderBy would plan a sort job
+        # even over the driver path's LocalRelation
+        return sorted(df.collect(), key=lambda r: r["rank"])
 
     def warm_hybrid(self, embeddings_path: str, ivf_root: str,
                     n_centroids: int = 8, n_probe: int = 2) -> None:

@@ -39,6 +39,13 @@ from ..index.codec import (BLOCK, K1, block_ends_array, decode_postings,
                            tf_norm, varint_decode)
 from .bm25 import DEFAULT_QUERY_SET, Query, analyzed_query_terms
 
+_RANKED_SCHEMA = T.StructType([
+    T.StructField("query_id", T.StringType(), False),
+    T.StructField("rank", T.IntegerType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("score", T.DoubleType(), False),
+])
+
 CAND_SCHEMA = T.StructType([
     T.StructField("query_id", T.StringType(), False),
     T.StructField("doc_id", T.LongType(), False),
@@ -382,7 +389,8 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
               allowed_docs: DataFrame | None = None,
               shard_bounds: list[tuple[int, int]] | None = None,
               eager_decode: bool = False,
-              blocked_ids=None) -> DataFrame:
+              blocked_ids=None,
+              final_rank: str = "window") -> DataFrame:
     """Exact BM25 top-k via per-shard MaxScore over the packed index.
 
     Output schema identical to `bm25.bm25_topk`:
@@ -409,7 +417,22 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
     metadata-scale by the LSM discipline, so it rides the task closure
     (8 bytes per id) instead of a cogroup; composes with
     ``allowed_docs``.
+
+    ``final_rank`` picks the global-rank strategy over the per-shard
+    candidates (<= shards x k rows either way):
+    * ``"window"`` (default): a Window.partitionBy(query_id) rank — stays
+      lazy/composable, costs one exchange + stage per request.
+    * ``"driver"``: collect the candidates and merge driver-side with the
+      IDENTICAL (rounded score desc, doc_id asc) ordering — the reference
+      Searcher's own shape (`jobs/Searcher.java:234-244`, a PriorityQueue
+      over fetched postings) at metadata scale. One fewer stage per warm
+      query; rank-identity to the window path is test-enforced. EAGER
+      (runs the job at call time) — meant for serving, where the caller
+      collects immediately anyway.
     """
+    if final_rank not in ("window", "driver"):
+        raise ValueError(f"final_rank must be 'window' or 'driver', "
+                         f"got {final_rank!r}")
     qrows = analyzed_query_terms(queries, stem=stem)
     if corpus_stats is None:
         stats = doc_stats.collect()[0]
@@ -481,8 +504,56 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
     score = F.round(F.col("score"), round_scores) if round_scores is not None \
         else F.col("score")
     scored = cands.withColumn("score", score)
+    if final_rank == "driver":
+        return _driver_rank(spark, scored, {q: k for q, (_, k)
+                                            in per_query.items()})
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("doc_id").asc())
     out = (scored.withColumn("rank", F.row_number().over(w))
            .where(F.col("rank") <= F.col("k")))
     return out.select("query_id", "rank", "doc_id", "score")
+
+
+def _driver_rank(spark: SparkSession, scored: DataFrame,
+                 ks: dict[str, int]) -> DataFrame:
+    """Collect per-shard candidates (metadata-scale: <= shards x k rows,
+    scores already rounded) and produce the global top-k per query with
+    the engine-wide (score desc, doc_id asc) ordering — the final rank
+    without the per-request exchange + window stage."""
+    rows = scored.select("query_id", "doc_id", "score").collect()
+    by_q: dict[str, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (-float(r["score"]), int(r["doc_id"])))
+    out_q: list[str] = []
+    out_r: list[int] = []
+    out_d: list[int] = []
+    out_s: list[float] = []
+    for q, cand in by_q.items():
+        cand.sort()
+        for rank, (neg, doc) in enumerate(cand[:ks.get(q, 0)], start=1):
+            out_q.append(q)
+            out_r.append(rank)
+            out_d.append(doc)
+            out_s.append(-neg)
+    # pandas input -> Arrow LocalRelation: a list input would round-trip
+    # through sc.parallelize and every downstream collect would schedule a
+    # defaultParallelism-task job (measured ~0.3 s vs ~0.02 s for the
+    # LocalRelation — more than the exchange this mode exists to save).
+    # An EMPTY pandas frame falls off the Arrow path (LogicalRDD with
+    # defaultParallelism empty partitions — a 32-task job per collect, as
+    # is createDataFrame([], schema)); a one-row LocalRelation filtered
+    # to WHERE false constant-folds to an empty LocalRelation instead
+    # (driver-only collect, ~0.05 s vs ~0.4 s measured).
+    if not out_q:
+        one = pd.DataFrame({"query_id": ["x"],
+                            "rank": pd.Series([1], dtype="int32"),
+                            "doc_id": pd.Series([0], dtype="int64"),
+                            "score": pd.Series([0.0], dtype="float64")})
+        return (spark.createDataFrame(one, schema=_RANKED_SCHEMA)
+                .where(F.lit(False)))
+    pdf = pd.DataFrame({"query_id": pd.Series(out_q, dtype="str"),
+                        "rank": pd.Series(out_r, dtype="int32"),
+                        "doc_id": pd.Series(out_d, dtype="int64"),
+                        "score": pd.Series(out_s, dtype="float64")})
+    return spark.createDataFrame(pdf, schema=_RANKED_SCHEMA)

@@ -124,3 +124,19 @@ def test_wand_filtered_conjunctive(spark, built):
     assert [g[:3] for g in got] == [w[:3] for w in want]
     for g, w in zip(got, want):
         assert g[3] == pytest.approx(w[3], abs=1e-6)
+
+
+def test_driver_rank_identity(spark, built):
+    """final_rank='driver' (per-shard top-k heap-merged driver-side, the
+    serving mode) must produce exactly the window path's (query_id, rank,
+    doc_id, score) rows — same rounded-score-desc, doc-id-asc discipline."""
+    idx, avgdl = built
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=64)
+    want = _collect_ranked(wand_topk(spark, packed, idx.doc_stats,
+                                     queries=QUERIES))
+    got = _collect_ranked(wand_topk(spark, packed, idx.doc_stats,
+                                    queries=QUERIES, final_rank="driver"))
+    assert got == want
+    with pytest.raises(ValueError):
+        wand_topk(spark, packed, idx.doc_stats, queries=QUERIES,
+                  final_rank="heap")
