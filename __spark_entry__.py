@@ -235,6 +235,58 @@ def _phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(spark, term_positions_pandas(docs, "text", stem=True))
 
 
+def _positions_packed(spark: SparkSession, sf_dir: str,
+                      shard_bounds=None):
+    """Shared builder: positional rows -> packed per-(term, doc-shard)
+    position segments (index/positions.py; delta+varint blobs, the same
+    compression discipline the TF postings got in round 1)."""
+    from mini_distributed_search_engine_spark.index.positions import (
+        build_packed_positions)
+    docs = with_stable_doc_ids(transcripts_from_documents(spark, sf_dir))
+    pos = term_positions_pandas(docs, "text", stem=True)
+    return build_packed_positions(pos, shard_span=256,
+                                  shard_bounds=shard_bounds)
+
+
+def _positions_packed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW round 5: pack the positional index (doc-gap + per-doc
+    position-delta varint segments, per-128-doc block byte offsets) and
+    unpack it back — the physical format under the packed phrase and
+    proximity kernels, gated against the same positional oracle as
+    `term_positions`."""
+    from mini_distributed_search_engine_spark.index.positions import (
+        unpack_positions)
+    return unpack_positions(_positions_packed(spark, sf_dir))
+
+
+def _phrase_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW round 5: phrase search served from the PACKED positional index
+    (per-shard anchor-intersection kernel, candidate-block-only position
+    decode) — same oracle as the declarative `phrase_match`."""
+    from mini_distributed_search_engine_spark.query.phrase import (
+        phrase_match_packed)
+    return phrase_match_packed(spark, _positions_packed(spark, sf_dir))
+
+
+def _bm25_proximity_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW round 5: proximity-boosted retrieval served from the COMPRESSED
+    indexes — packed TF segments cogrouped per doc-range shard with
+    positional segments co-sharded via shard_bounds (exercising the
+    alignment contract), MaxScore pruning carrying the bonus slack, exact
+    pairwise-min-distance rerank of the surviving pool. Same oracle as
+    the declarative `bm25_topk_proximity`."""
+    from mini_distributed_search_engine_spark.query.proximity import (
+        wand_topk_proximity)
+    from mini_distributed_search_engine_spark.query.wand import (
+        compute_shard_bounds)
+    idx = _index(spark, sf_dir, stem=True)
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=256)
+    pos_packed = _positions_packed(
+        spark, sf_dir, shard_bounds=compute_shard_bounds(packed))
+    return wand_topk_proximity(spark, packed, pos_packed, idx.doc_stats)
+
+
 def _text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 adjacent-term bigrams over the analyzed corpus — phrase/
     collocation statistics for training-data analysis. Engine path:
@@ -761,6 +813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_hydrated": _bm25_hydrated,
         "term_positions": _positions,
         "phrase_match": _phrase,
+        # NEW round 5: packed positional index family
+        "positions_packed_roundtrip": _positions_packed_roundtrip,
+        "phrase_match_packed": _phrase_packed,
+        "bm25_topk_proximity_wand": _bm25_proximity_wand,
         "packed_roundtrip": _packed_roundtrip,
         "index_lineage": _index_lineage,
         "packed_incremental_roundtrip": _packed_incremental,
@@ -914,6 +970,11 @@ def oracle_sql() -> dict[str, str]:
         "term_suggestions": O.sql_term_suggestions(stem=True),
         "term_positions": O.sql_term_positions(stem=True),
         "phrase_match": O.sql_phrase_match(stem=True),
+        # round 5: the packed positional family reuses the row-layout
+        # oracles — the physical format must be invisible to the answer
+        "positions_packed_roundtrip": O.sql_term_positions(stem=True),
+        "phrase_match_packed": O.sql_phrase_match(stem=True),
+        "bm25_topk_proximity_wand": O.sql_bm25_topk_proximity(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         # same postings oracle minus the deterministic tombstone slice
         # (dl keeps its pre-delete value: a doc's length never depends on

@@ -501,12 +501,22 @@ def wand_topk(spark: SparkSession, packed: DataFrame, doc_stats: DataFrame,
             return fn(pdf)
 
         cands = sel.groupBy("shard_id").applyInPandas(fn_typed, CAND_SCHEMA)
+    return rank_candidates(spark, cands, round_scores, final_rank,
+                           {q: k for q, (_, k) in per_query.items()})
+
+
+def rank_candidates(spark: SparkSession, cands: DataFrame,
+                    round_scores: int | None, final_rank: str,
+                    ks: dict[str, int]) -> DataFrame:
+    """Shared tail of every packed-kernel retrieval path: round the
+    per-shard candidates' scores, then produce the global per-query
+    top-k — either as the lazy rank window or the driver-side heap merge
+    (see `wand_topk`'s ``final_rank``)."""
     score = F.round(F.col("score"), round_scores) if round_scores is not None \
         else F.col("score")
     scored = cands.withColumn("score", score)
     if final_rank == "driver":
-        return _driver_rank(spark, scored, {q: k for q, (_, k)
-                                            in per_query.items()})
+        return _driver_rank(spark, scored, ks)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(),
                                                F.col("doc_id").asc())
     out = (scored.withColumn("rank", F.row_number().over(w))
