@@ -12,6 +12,7 @@ the infrastructure SURVEY §7 absorbs into commodity layers.
 Routes (JSON replies):
   GET /search?q=<text>&k=10&mode=or|and[&role=<role>]  ranked BM25
   GET /phrase?q=<text>&k=10                            exact phrase match
+  GET /proximity?q=<text>&k=10                         BM25 + closeness bonus
   GET /hybrid?q=<text>&vec=<id>&k=10                   BM25 + IVF-ANN RRF
   GET /words?prefix=<p>&n=10                           autocomplete by df
   GET /stats                                           corpus stats + p50
@@ -105,6 +106,15 @@ def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
                     if "q" not in q:
                         return self._json(400, {"err": "q parameter required"})
                     rows = engine.search_phrase(q["q"], k=_pos_int(q, "k", 10))
+                    took = time.perf_counter() - t0
+                    self._record(took)
+                    return self._json(200, {"rows": [_row_json(r) for r in rows],
+                                            "took_sec": round(took, 4)})
+                if u.path == "/proximity":
+                    if "q" not in q:
+                        return self._json(400, {"err": "q parameter required"})
+                    rows = engine.search_proximity(q["q"],
+                                                   k=_pos_int(q, "k", 10))
                     took = time.perf_counter() - t0
                     self._record(took)
                     return self._json(200, {"rows": [_row_json(r) for r in rows],

@@ -169,6 +169,29 @@ class StagedIndexBuild:
                 self._commit("positions", wall)
                 status["positions"] = "built"
 
+            # packed positional segments (index/positions.py): the
+            # at-rest format phrase/proximity serve from. Sharded at
+            # shard_span * merge_factor == the doc range a MERGED TF
+            # shard covers (merge sets shard = doc // (span * factor)),
+            # so the proximity kernel can cogroup this table with the
+            # `merged` stage on shard_id directly.
+            if self.is_committed("positions_packed"):
+                status["positions_packed"] = "skipped"
+            else:
+                from ..index.positions import build_packed_positions
+                t0 = time.perf_counter()
+                pos = self.read("positions", "data")
+                (build_packed_positions(
+                    pos, shard_span=shard_span * merge_factor)
+                 .write.mode("overwrite")
+                 .parquet(str(self._dir("positions_packed") / "data")))
+                wall = int((time.perf_counter() - t0) * 1000)
+                self._lineage_simple(
+                    "positions_packed",
+                    self.read("positions_packed", "data"), wall)
+                self._commit("positions_packed", wall)
+                status["positions_packed"] = "built"
+
         if self.is_committed("stats"):
             status["stats"] = "skipped"
         else:

@@ -99,6 +99,7 @@ class SearchEngine:
         self.docs = spark.read.parquet(f"{index_root}/docs/data")
         self._index_root = index_root
         self._positions: DataFrame | None = None
+        self._positions_packed: DataFrame | None = None
         self._tombstones: set[int] = set()
         import threading
         self._tombstones_lock = threading.Lock()
@@ -183,10 +184,17 @@ class SearchEngine:
         instead of the global rank window — one fewer exchange + stage
         per request, rank-identical (see wand.wand_topk). Eager, so meant
         for serving calls that collect immediately."""
-        if mode not in ("or", "and"):
-            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
-        conjunctive = mode == "and"
+        if mode not in ("or", "and", "proximity"):
+            raise ValueError(
+                f"mode must be 'or', 'and' or 'proximity', got {mode!r}")
         tomb = self._tomb()
+        if mode == "proximity":
+            if role is not None:
+                raise ValueError("mode='proximity' does not compose with "
+                                 "role= yet; filter the results instead")
+            out = self._search_proximity(queries, tomb, final_rank)
+            return self._hydrate(out, "score") if hydrate else out
+        conjunctive = mode == "and"
         if role is not None:
             # metadata-filtered retrieval: the allowed doc_ids are sharded
             # alongside the packed segments (wand.wand_topk allowed_docs —
@@ -358,6 +366,31 @@ class SearchEngine:
             out = self._hydrate(out, "rrf")
         return out.orderBy("rank").collect()
 
+    def _search_proximity(self, queries: tuple[Query, ...],
+                          tomb: list[int] | None,
+                          final_rank: str) -> DataFrame:
+        """Proximity-boosted ranking (BM25 + pairwise min-distance bonus)
+        over the warm indexes: the packed path cogroups the cached TF
+        segments with the packed positional segments per doc-range shard
+        (tombstones masked inside the kernel); the exhaustive fallback is
+        the declarative row-path with the same masks."""
+        if self.use_packed:
+            from .proximity import wand_topk_proximity
+            return wand_topk_proximity(
+                self.spark, self.packed, self._packed_positions_df(),
+                self.doc_stats, queries=queries,
+                corpus_stats=self._corpus_stats, blocked_ids=tomb,
+                final_rank=final_rank)
+        from .proximity import bm25_topk_proximity
+        self._ensure_tf()
+        tf, pos = self.tf, self._positions_df()
+        if tomb is not None:
+            tf = self._mask_tomb(tf, "doc_id", tomb)
+            pos = self._mask_tomb(pos, "doc_id", tomb)
+        return bm25_topk_proximity(self.spark, tf, self.term_stats,
+                                   self.doc_stats, pos, queries=queries,
+                                   corpus_stats=self._corpus_stats)
+
     def _positions_df(self) -> DataFrame:
         """Positional index: the pipeline's committed 'positions' stage if
         present, else built once from the doc store and cached."""
@@ -373,14 +406,55 @@ class SearchEngine:
             self._positions.count()
         return self._positions
 
+    def _packed_positions_df(self) -> DataFrame:
+        """Packed positional segments: the pipeline's committed
+        'positions_packed' stage if present (already co-sharded with the
+        merged TF layout), else packed once from the row positions
+        CO-SHARDED with the live packed TF index via its shard bounds
+        (the alignment contract `wand_topk_proximity` requires)."""
+        if self._positions_packed is None:
+            import os
+            stage = f"{self._index_root}/positions_packed/data"
+            if os.path.isdir(stage):
+                self._positions_packed = self.spark.read.parquet(stage).cache()
+            else:
+                from ..index.positions import build_packed_positions
+                if self._shard_bounds is None:
+                    self._shard_bounds = compute_shard_bounds(self.packed)
+                self._positions_packed = build_packed_positions(
+                    self._positions_df(),
+                    shard_bounds=self._shard_bounds).cache()
+            self._positions_packed.count()
+        return self._positions_packed
+
     def search_phrase(self, text: str, k: int = 10) -> list:
-        """Exact phrase search; rows (rank, doc_id, n_occ)."""
-        pos = self._positions_df()
+        """Exact phrase search; rows (rank, doc_id, n_occ). Packed
+        engines serve from the compressed positional segments (per-shard
+        anchor-intersection kernel, tombstones masked in-kernel); the
+        rest use the declarative row path."""
         tomb = self._tomb()
-        if tomb is not None:
-            pos = self._mask_tomb(pos, "doc_id", tomb)
-        df = phrase_match(self.spark, pos, (Query("q", text, k=k),))
+        if self.use_packed:
+            from .phrase import phrase_match_packed
+            df = phrase_match_packed(self.spark, self._packed_positions_df(),
+                                     (Query("q", text, k=k),),
+                                     blocked_ids=tomb)
+        else:
+            pos = self._positions_df()
+            if tomb is not None:
+                pos = self._mask_tomb(pos, "doc_id", tomb)
+            df = phrase_match(self.spark, pos, (Query("q", text, k=k),))
         return df.orderBy("rank").collect()
+
+    def search_proximity(self, text: str, k: int = 10,
+                         hydrate: bool = True) -> list:
+        """Proximity-boosted search (BM25 + pairwise min-distance bonus):
+        docs whose query terms sit near each other outrank scattered
+        matches. Serving twin of the batch `bm25_topk_proximity` /
+        `wand_topk_proximity` entries."""
+        fr = "driver" if self.use_packed else "window"
+        df = self.search_batch((Query("q", text, k=k),), hydrate=hydrate,
+                               mode="proximity", final_rank=fr)
+        return sorted(df.collect(), key=lambda r: r["rank"])
 
     def suggest(self, prefix: str, n: int = 10) -> list[str]:
         """Autocomplete: index terms under a prefix by descending document

@@ -341,3 +341,79 @@ def test_engine_delete_docs_masks_every_path(spark, index_root):
     fresh = SearchEngine(spark, index_root, use_packed=True)
     again = fresh.search("apple banana", k=10, hydrate=False)
     assert {r["doc_id"] for r in again} & set(victims)
+
+
+def test_engine_proximity_and_packed_phrase(spark, index_root):
+    """mode='proximity' agrees between the packed cogroup kernel and the
+    declarative row path; search_phrase serves identically from the packed
+    positional segments (built lazily, co-sharded with the live TF
+    layout) and from the row positions table."""
+    packed_eng = SearchEngine(spark, index_root, use_packed=True)
+    exact_eng = SearchEngine(spark, index_root, use_packed=False)
+    qs = (Query("a", "apple banana"), Query("b", "spark index"),
+          Query("c", "running search", k=25), Query("d", "apple"))
+    a = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+               for r in packed_eng.search_batch(qs, mode="proximity").collect())
+    b = sorted((r["query_id"], r["rank"], r["doc_id"], round(r["score"], 6))
+               for r in exact_eng.search_batch(qs, mode="proximity").collect())
+    assert a == b and len(a) > 0
+    # serving entry: ranked, hydrated, and >= the plain BM25 score for the
+    # same doc (the bonus is non-negative)
+    rows = packed_eng.search_proximity("apple banana", k=5)
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    plain = {r["doc_id"]: r["score"] for r in
+             packed_eng.search("apple banana", k=500)}
+    assert all(r["score"] >= plain[r["doc_id"]] - 1e-9 for r in rows)
+    with pytest.raises(ValueError):
+        packed_eng.search_batch(qs, mode="proximity", role="user")
+    # phrase: packed kernel == declarative rows
+    pp = [(r["rank"], r["doc_id"], r["n_occ"])
+          for r in packed_eng.search_phrase("apple banana", k=20)]
+    pe = [(r["rank"], r["doc_id"], r["n_occ"])
+          for r in exact_eng.search_phrase("apple banana", k=20)]
+    assert pp == pe
+
+
+def test_engine_proximity_respects_tombstones(spark, index_root):
+    """Deleted docs disappear from proximity and packed-phrase results."""
+    eng = SearchEngine(spark, index_root, use_packed=True)
+    base = eng.search_proximity("apple banana", k=10, hydrate=False)
+    assert base
+    victim = base[0]["doc_id"]
+    eng.delete_docs([victim])
+    after = eng.search_proximity("apple banana", k=10, hydrate=False)
+    assert victim not in {r["doc_id"] for r in after}
+    ph = eng.search_phrase("apple banana", k=50)
+    assert victim not in {r["doc_id"] for r in ph}
+
+
+def test_pipeline_positions_packed_stage(spark, tmp_path_factory):
+    """StagedIndexBuild(positions=True) commits a positions_packed stage
+    co-sharded with the merged TF layout; the engine serves proximity and
+    phrase from it with answers identical to the stage-less fallback."""
+    from mini_distributed_search_engine_spark.index.positions import (
+        unpack_positions)
+    root = tmp_path_factory.mktemp("eng_pos_idx")
+    tr = spark.createDataFrame(synthesize_transcripts_pdf(50, seed=21))
+    status = StagedIndexBuild(spark, str(root), run_id="engp").run(
+        tr, shard_span=64, merge_factor=4, positions=True)
+    assert status["positions_packed"] == "built"
+    # stage contents == row positions
+    rows = spark.read.parquet(f"{root}/positions/data")
+    packed = spark.read.parquet(f"{root}/positions_packed/data")
+    want = sorted((r["doc_id"], r["term"], r["pos"]) for r in rows.collect())
+    got = sorted((r["doc_id"], r["term"], r["pos"])
+                 for r in unpack_positions(packed).collect())
+    assert got == want
+    eng = SearchEngine(spark, str(root), use_packed=True)
+    assert eng._packed_positions_df() is not None
+    # served from the committed stage (co-sharded by construction)
+    rows_p = eng.search_proximity("apple banana", k=5, hydrate=False)
+    rows_f = eng.search_phrase("apple banana", k=5)
+    exact = SearchEngine(spark, str(root), use_packed=False)
+    assert ([(r["rank"], r["doc_id"], round(r["score"], 6)) for r in rows_p]
+            == [(r["rank"], r["doc_id"], round(r["score"], 6)) for r in
+                exact.search_proximity("apple banana", k=5, hydrate=False)])
+    assert ([(r["rank"], r["doc_id"], r["n_occ"]) for r in rows_f]
+            == [(r["rank"], r["doc_id"], r["n_occ"]) for r in
+                exact.search_phrase("apple banana", k=5)])

@@ -120,3 +120,15 @@ def test_delete_route(http_base):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=120)
     assert e.value.code == 400
+
+
+def test_proximity_route(http_base):
+    code, body = _get(f"{http_base}/proximity?q=apple+banana&k=5")
+    assert code == 200
+    assert body["rows"] and body["rows"][0]["rank"] == 1
+    assert {"doc_id", "score", "conv_id", "snippet"} <= set(body["rows"][0])
+    # proximity score >= plain BM25 score for the same doc (bonus >= 0)
+    _, plain = _get(f"{http_base}/search?q=apple+banana&k=500")
+    by_doc = {r["doc_id"]: r["score"] for r in plain["rows"]}
+    assert all(r["score"] >= by_doc[r["doc_id"]] - 1e-9
+               for r in body["rows"])
