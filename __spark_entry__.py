@@ -677,76 +677,73 @@ def _index_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the registries below stay in SEMANTIC source order and this explicit
 # list applies the round's rotation in ONE place (the r2/r3 approach of
 # hand-reordering the dict bodies hid the policy inside the literals —
-# ADVICE r3 #1). Round-4 policy, in order:
-#   1-27  the cohort whose newest driver row is r1/r2 (rotation target:
-#         after r4 every entry's newest row is <= two rounds old) — the
-#         flame suite, tfidf_*, nostem twins, minhash/ngram/simhash,
-#         embed cosine/LSH/near-dup, term_suggestions
-#   28-35 entries NEW this round (filtered WAND, hybrid-ANN, streaming
-#         roundtrip, deep star-CC, doc-bucketed keywords, decontaminate,
-#         tombstone purge + tombstoned WAND)
-#   36-41 entries whose implementation or oracle CHANGED this round (the
-#         WAND kernel refactor + blocked-mask plumbing, hybrid _fuse
-#         split, pagerank self-selecting oracle) — a regression here
-#         must not pass the gate
-#   42-50 core-pipeline fill (stats -> bm25 -> phrase -> packed), all
-#         triple-green r1+r2+r3; transcripts/docs_stable_ids/
-#         index_lineage ceded their slots to the late-round entries
-#         (all three triple-green, newest row r3 — within the two-round
-#         freshness bound)
-# Everything left outside was driver-green in r3, so nothing's newest row
-# is older than two rounds. Verify placement after ANY registry edit:
+# ADVICE r3 #1). Round-5 policy (VERDICT r4 next-round #2), in order:
+#   1     embed_kmeans_centroids — the ONLY entry whose newest driver row
+#         is r2; rotates first
+#   2-40  the complete 39-entry cohort whose newest driver row is r3
+#         (everything the r4 window left out), registry source order
+#   41-43 entries NEW this round: the packed positional index family
+#         (roundtrip, packed phrase kernel, packed proximity kernel)
+#   44-50 entries whose implementation CHANGED this round — corpus_stats
+#         threading (bm25_topk / and / filtered / proximity), the
+#         wand_topk rank tail refactor (wand / and_wand), the tightened
+#         ipv4 PII pattern (text_redact_pii)
+# Every slot ceded comes from the r4-green cohort (all 50 of them are
+# double-or-better green and driver-verified LAST round), so after r5 no
+# entry's newest driver row is older than r4 — the VERDICT's rotation
+# target. Verify placement after ANY registry edit:
 #   python -c "import __spark_entry__ as E; print(list(E.queries())[:50])"
 # --------------------------------------------------------------------------
-_R4_WINDOW = (
-    # 1-27: oldest-verified cohort
-    "term_doc_tf_nostem", "bm25_topk_nostem", "bm25_topk_and",
-    "tfidf_blend_topk", "tfidf_rerank_topk", "term_suggestions",
-    "flame_parallelize", "flame_scan_filter_project", "flame_wordcount",
-    "flame_distinct", "flame_join", "flame_fold", "flame_groupby",
-    "flame_groupby_salted", "flame_intersection", "flame_cogroup",
-    "flame_sample", "flame_take", "flame_count", "flame_mappartitions",
-    "flame_save_roundtrip", "dedup_minhash_sigs", "dedup_ngram_jaccard",
-    "dedup_simhash", "embed_cosine_topk", "embed_lsh_ann_topk",
-    "embed_near_dup_lsh",
-    # 28-37: new this round
-    "bm25_topk_filtered_wand", "hybrid_rrf_ann_topk",
-    "streaming_index_roundtrip", "dedup_components_star_deep",
-    "doc_keywords_bucketed", "text_decontaminate",
-    "packed_purge_roundtrip", "bm25_topk_tombstoned_wand",
-    "text_redact_pii", "text_repetition", "embed_ivf_append_topk",
-    "bm25_topk_proximity",
-    # 38-43: implementation/oracle changed this round
-    "bm25_topk_wand", "bm25_topk_and_wand", "bm25_topk_filtered",
-    "hybrid_rrf_topk", "pagerank_fixed", "pagerank_converged",
-    # 44-50: core-pipeline fill (bm25_topk_collapsed ceded its slot to
-    # doc_keywords_bucketed — triple-green, a derived view of the
-    # hydrated entry, which stays; transcripts/docs_stable_ids/
-    # index_lineage/doc_stats/term_positions ceded theirs to late-round
-    # entries — all triple-green, newest row r3, within the two-round
-    # freshness bound; phrase_match keeps positional-family coverage)
-    "term_doc_tf",
-    "bm25_topk", "bm25_topk_hydrated",
-    "phrase_match", "packed_roundtrip",
+_R5_WINDOW = (
+    # 1: the single r2-latest entry anywhere (VERDICT r4 #2: "kmeans
+    # first") — after r5 no entry's newest driver row predates r4
+    "embed_kmeans_centroids",
+    # 2-40: the r3-latest cohort (every remaining entry outside the r4
+    # window), in registry source order — the whole stale set re-enters
+    "analytics_sessionize", "events_asof_join", "events_range_join",
+    "events_value_quantiles", "events_value_quantiles_approx",
+    "events_windowed_counts", "events_json_agg", "doc_keywords",
+    "related_terms", "text_token_counts", "text_unigram_logppl",
+    "multimodal_frame_sample", "multimodal_embed", "text_bigrams",
+    "docs_sample_stratified", "docs_sample_topk_stratum",
+    "analytics_pricing_summary", "analytics_top_unshipped",
+    "analytics_forecast_revenue", "analytics_windows", "analytics_rollup",
+    "text_lang_id", "text_quality", "doc_fingerprint", "multimodal_meta",
+    "transcripts", "docs_stable_ids", "term_stats", "doc_stats",
+    "bm25_topk_collapsed", "term_positions", "index_lineage",
+    "packed_incremental_roundtrip", "dedup_exact", "dedup_lsh_candidates",
+    "dedup_components", "dedup_components_star", "embed_ivf_ann_topk",
+    "embed_ivf_partitioned_topk",
+    # 41-43: NEW this round (packed positional index family)
+    "positions_packed_roundtrip", "phrase_match_packed",
+    "bm25_topk_proximity_wand",
+    # 44-50: implementation changed this round — a regression must not
+    # pass the gate (corpus_stats threading through the exhaustive
+    # scorers: bm25_topk/and/filtered/proximity; the rank_candidates/
+    # driver-merge tail refactor of wand_topk: wand/and_wand; the
+    # tightened ipv4 PII pattern: redact_pii)
+    "bm25_topk", "bm25_topk_and", "bm25_topk_filtered",
+    "bm25_topk_proximity", "bm25_topk_wand", "bm25_topk_and_wand",
+    "text_redact_pii",
 )
-assert len(_R4_WINDOW) == 50 and len(set(_R4_WINDOW)) == 50
+assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
 
 
 def _window_order(d: dict) -> dict:
-    """Reorder a registry so _R4_WINDOW occupies the first 50 slots; the
+    """Reorder a registry so _R5_WINDOW occupies the first 50 slots; the
     rest keep their semantic source order. Fails loudly if the window
     names drift from the registry keys."""
-    missing = [k for k in _R4_WINDOW if k not in d]
+    missing = [k for k in _R5_WINDOW if k not in d]
     if missing:
         raise AssertionError(f"window names not in registry: {missing}")
-    out = {k: d[k] for k in _R4_WINDOW}
+    out = {k: d[k] for k in _R5_WINDOW}
     out.update((k, v) for k, v in d.items() if k not in out)
     return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry in semantic source order; `_window_order` applies the
-    driver-window rotation (see the _R4_WINDOW note above)."""
+    driver-window rotation (see the _R5_WINDOW note above)."""
     A = analytics.queries()
     return _window_order({
         # reference's PageRank job (fixed 5 iterations for oracle parity)
