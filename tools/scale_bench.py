@@ -111,6 +111,60 @@ def main() -> None:
     lat_eager = run_set(stripped)
     stripped.unpersist()
 
+    # ---- delete lifecycle at scale (VERDICT r4 #7): tombstone 1% of the
+    # docs, fold them in with purge_docs, re-query the purged index.
+    # Two tombstone shapes: CLUSTERED (one contiguous 1% doc range — the
+    # realistic LSM shape: a retention window or a dropped conversation
+    # batch) exercises the two-binary-search segment gate (untouched
+    # segments pass through byte-identical, so purge cost ~ affected
+    # segments); SCATTERED (every 100th doc) is the adversarial shape
+    # where every segment's range intersects and the gate cannot help —
+    # the gap between the two IS the gate's value.
+    import numpy as np
+
+    from mini_distributed_search_engine_spark.index.packed import (
+        purge_docs, tombstone_doc_stats)
+
+    n_docs = corpus[0]
+    ranges = [(int(r["first_doc"]), int(r["last_doc"]))
+              for r in merged.select("first_doc", "last_doc").collect()]
+
+    def touched(tomb: np.ndarray) -> int:
+        return sum(1 for lo, hi in ranges
+                   if np.searchsorted(tomb, lo) < np.searchsorted(
+                       tomb, hi, side="right"))
+
+    purge = {}
+    for shape, tomb in (
+            ("clustered", np.arange(0, n_docs // 100, dtype=np.int64)),
+            ("scattered", np.arange(0, n_docs, 100, dtype=np.int64))):
+        t = time.perf_counter()
+        d_n, d_dl = tombstone_doc_stats(merged, tomb)
+        stats_sec = time.perf_counter() - t
+        t = time.perf_counter()
+        out_dir = root / f"purged_{shape}"
+        purge_docs(merged, tomb).write.mode("overwrite").parquet(
+            str(out_dir / "data"))
+        purge_sec = time.perf_counter() - t
+        purged = (spark.read.parquet(str(out_dir / "data"))
+                  .repartition(args.cpus, "shard_id").cache())
+        purged.count()
+        t = time.perf_counter()
+        wand_topk(spark, purged, doc_stats, queries=QUERIES,
+                  corpus_stats=(n_docs - d_n,
+                                (corpus[0] * corpus[1] - d_dl)
+                                / max(1, n_docs - d_n))).collect()
+        requery_sec = time.perf_counter() - t
+        purged.unpersist()
+        purge[shape] = {
+            "tombstones": int(tomb.size),
+            "segments_touched": touched(tomb),
+            "segments_total": len(ranges),
+            "stats_delta_sec": round(stats_sec, 3),
+            "purge_write_sec": round(purge_sec, 3),
+            "requery_batch_sec": round(requery_sec, 3),
+        }
+
     med = lambda d: sorted(d.values())[len(d) // 2]
     print(json.dumps({
         "metric": "staged_pipeline_scale_run",
@@ -126,6 +180,7 @@ def main() -> None:
         "p50_eager": med(lat_eager),
         "batch_sec": batch_sec,
         "batch_per_query_sec": round(batch_sec / len(QUERIES), 4),
+        "purge": purge,
         "cpus": args.cpus,
     }))
 
