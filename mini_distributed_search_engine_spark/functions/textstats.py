@@ -64,9 +64,12 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "[PHONE]"),
     # valid octets only (0-255): a naive \d{1,3} quad also eats semver-ish
     # strings like '1.2.3.400' — over-redaction the curation funnel should
-    # not inflict on non-PII text (ADVICE r4)
-    ("ipv4", r"\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
-             r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b", "[IPV4]"),
+    # not inflict on non-PII text (ADVICE r4). The 0* prefix keeps
+    # zero-padded quads ('192.168.001.007', syslog/firewall exports)
+    # redacted — recall-biased where it IS an address, strict where the
+    # trailing octet overflows (no '400').
+    ("ipv4", r"\b0*(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+             r"(\.0*(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b", "[IPV4]"),
 )
 
 

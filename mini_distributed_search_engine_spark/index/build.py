@@ -293,6 +293,12 @@ def _merge_descriptor(spark, path: str, buckets: int,
     try:
         with os.fdopen(fd, "w") as f:
             f.write(json.dumps(desc, indent=1))
+        # mkstemp creates 0600; descriptors are shared metadata (another
+        # account may register_bucketed from the same root) — restore the
+        # umask-governed mode write_text used to produce
+        um = os.umask(0)
+        os.umask(um)
+        os.chmod(tmp, 0o666 & ~um)
         os.replace(tmp, p)
     except BaseException:
         try:

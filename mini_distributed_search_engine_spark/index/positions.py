@@ -243,9 +243,15 @@ class _PSeg:
         return self._docs
 
     def full(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(docs, counts, flat positions) for the whole segment (memoized)."""
+        """(docs, counts, flat positions) for the whole segment (memoized;
+        reuses a `docs()`-memoized gap decode — the phrase kernel always
+        decodes doc lists first, so hot segments skip the largest varint
+        pass here)."""
         if self._full is None:
-            self._full = _decode_all(self._gaps, self._cnts, self._pos)
+            docs = self.docs()
+            counts = varint_decode(self._cnts).astype(np.int64)
+            deltas = varint_decode(self._pos).astype(np.int64)
+            self._full = (docs, counts, _abs_positions(deltas, counts))
         return self._full
 
     def _decode_blocks(self, need: np.ndarray

@@ -21,7 +21,6 @@ semantics preserved).
 from __future__ import annotations
 
 import itertools
-import math
 
 import numpy as np
 import pandas as pd
@@ -113,7 +112,10 @@ def wand_topk_proximity(spark: SparkSession, packed: DataFrame,
     the positional side with ``build_packed_positions(shard_bounds=
     compute_shard_bounds(packed))`` so positions co-shard with the TF
     layout (merge levels included); the kernel then sees both halves of
-    a doc range in one Arrow group with no row-level join.
+    a doc range in one Arrow group with no row-level join. The contract
+    is GUARDED: a shard group whose two sides cover disjoint doc ranges
+    (the mismatched-span symptom) raises instead of silently scoring
+    every bonus as 0.
 
     Pruning stays sound under the bonus: a doc's proximity bonus is at
     most ``w * C(m, 2)`` for m query terms (each pair contributes <= 1),
@@ -128,7 +130,7 @@ def wand_topk_proximity(spark: SparkSession, packed: DataFrame,
     """
     from ..index.packed import _as_sorted_ids
     from ..index.positions import _PSeg
-    from .wand import _Seg, _in_sorted, rank_candidates, CAND_SCHEMA
+    from .wand import _shard_topk, rank_candidates, CAND_SCHEMA
 
     qrows = analyzed_query_terms(queries, stem=stem)
     if corpus_stats is None:
@@ -144,7 +146,6 @@ def wand_topk_proximity(spark: SparkSession, packed: DataFrame,
         per_query.setdefault(query_id, ([], k))
         per_query[query_id][0].append(term)
     queries_meta = [(q, ts, k) for q, (ts, k) in per_query.items()]
-    eps = 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
     blocked = None
     if blocked_ids is not None:
@@ -152,99 +153,65 @@ def wand_topk_proximity(spark: SparkSession, packed: DataFrame,
         if blocked.size == 0:
             blocked = None
 
+    def bonus_rerank(query_id, present_terms, docs, scores, psegs):
+        """Exact pairwise-min-distance bonus for the surviving pool
+        (docs sorted ascending): positions decoded only for the blocks
+        holding candidates; pair ordering (t1 < t2 by string) matches
+        the declarative/oracle formulation."""
+        final = scores.copy()
+        uniq = sorted(set(present_terms))
+        if len(uniq) < 2 or not psegs:
+            return final
+        plists = {t: psegs[t].lists_for(docs) for t in uniq if t in psegs}
+        for ta, tb in itertools.combinations(sorted(plists), 2):
+            la, lb = plists[ta], plists[tb]
+            for j in range(docs.size):
+                if la[j].size and lb[j].size:
+                    final[j] += w / (1.0 + _min_pair_dist(la[j], lb[j]))
+        return final
+
+    # ONE kernel with wand: _shard_topk's disjunctive MaxScore branch,
+    # prune tests widened by the bonus slack, pool reranked exactly
+    base = _shard_topk(queries_meta, n_docs, avgdl, round_scores,
+                       blocked=blocked,
+                       bound_slack=lambda m: w * m * (m - 1) / 2.0,
+                       pool_rerank=bonus_rerank)
+
     def shard_fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        segs = {r.term: _Seg(r, n_docs, avgdl)
-                for r in left.itertuples(index=False)}
+        # co-sharding guard: under a shard-span mismatch the cogroup
+        # pairs a TF shard with a positional shard covering a DISJOINT
+        # doc range — every bonus would silently come out 0. Fail loudly
+        # instead (partial overlap stays legal: boundary shards, purged
+        # TF segments). A mismatch always produces at least one fully
+        # disjoint pairing beyond shard 0, so this check cannot stay
+        # silent across a whole misaligned index.
+        if len(left):
+            # every TF posting has >= 1 position, so a term scored in
+            # this shard MUST have its positional twin here — a missing
+            # term means its positions landed in some OTHER shard id
+            # (the stale-index / span-mismatch symptom). The converse
+            # (positions without TF) stays legal: purge_docs rewrites
+            # only the TF side between compactions.
+            missing = set(left["term"]) - set(right["term"])
+            if missing:
+                raise ValueError(
+                    "positions are not co-sharded with the packed TF "
+                    f"index (terms {sorted(missing)[:3]} have TF "
+                    "segments but no positional segment in their "
+                    "shard group); build them with "
+                    "build_packed_positions(shard_bounds="
+                    "compute_shard_bounds(packed))")
+            if len(right) and (
+                    int(right["first_doc"].min()) > int(left["last_doc"].max())
+                    or int(right["last_doc"].max())
+                    < int(left["first_doc"].min())):
+                raise ValueError(
+                    "positions are not co-sharded with the packed TF "
+                    "index (disjoint doc ranges inside one shard_id "
+                    "group); build them with build_packed_positions("
+                    "shard_bounds=compute_shard_bounds(packed))")
         psegs = {r.term: _PSeg(r) for r in right.itertuples(index=False)}
-        out_q, out_d, out_s = [], [], []
-        for query_id, qterms, k in queries_meta:
-            terms = [(t, segs[t]) for t in qterms if t in segs]
-            if not terms or k <= 0:
-                continue
-            # MaxScore with bonus slack (see docstring), mirroring
-            # wand._shard_topk's disjunctive branch
-            slack = w * (len(terms) * (len(terms) - 1) / 2.0)
-            terms.sort(key=lambda x: -(x[1].idf * x[1].ub_norm))
-            ubs = np.array([seg.idf * seg.ub_norm for _, seg in terms])
-            rem = np.cumsum(ubs[::-1])[::-1]
-            pool_docs = np.empty(0, dtype=np.int64)
-            pool_scores = np.empty(0, dtype=np.float64)
-            theta = -math.inf
-            for i, (t, seg) in enumerate(terms):
-                if rem[i] + slack < theta - eps:
-                    break
-                docs_i, norms_i = seg.full()
-                if pool_docs.size:
-                    new_mask = ~np.isin(docs_i, pool_docs, assume_unique=True)
-                    new_docs = docs_i[new_mask]
-                    own = norms_i[new_mask]
-                else:
-                    new_docs, own = docs_i, norms_i
-                if blocked is not None and new_docs.size:
-                    bmask = ~_in_sorted(new_docs, blocked)
-                    new_docs, own = new_docs[bmask], own[bmask]
-                if new_docs.size == 0:
-                    continue
-                own = seg.idf * own
-                cand_lb = (np.concatenate([pool_scores, own])
-                           if pool_scores.size else own)
-                if cand_lb.size >= k:
-                    theta = max(theta, float(np.partition(cand_lb, -k)[-k]))
-                if theta > -math.inf and any(
-                        s._full is None for j, (_, s) in enumerate(terms)
-                        if j != i):
-                    bound = own + slack
-                    for j, (_, seg2) in enumerate(terms):
-                        if j != i:
-                            bound += seg2.idf * seg2.block_ub_at(new_docs)
-                    keep = bound >= theta - eps
-                    new_docs, own = new_docs[keep], own[keep]
-                    if new_docs.size == 0:
-                        continue
-                scores = own.copy()
-                for j, (_, seg2) in enumerate(terms):
-                    if j != i:
-                        scores += seg2.idf * seg2.lookup(new_docs)
-                pool_docs = np.concatenate([pool_docs, new_docs])
-                pool_scores = np.concatenate([pool_scores, scores])
-                if pool_docs.size >= k:
-                    theta = np.partition(pool_scores, -k)[-k]
-            if not pool_docs.size:
-                continue
-            # exact proximity bonus over the pool (positions decoded
-            # only for candidate blocks); pair ordering (t1 < t2 by
-            # string) matches the declarative/oracle formulation
-            order = np.argsort(pool_docs)
-            sd = pool_docs[order]
-            final = pool_scores[order].copy()
-            uniq = sorted({t for t, _ in terms})
-            if len(uniq) >= 2:
-                plists = {t: psegs[t].lists_for(sd)
-                          for t in uniq if t in psegs}
-                for ta, tb in itertools.combinations(
-                        [t for t in uniq if t in plists], 2):
-                    la, lb = plists[ta], plists[tb]
-                    for j in range(sd.size):
-                        if la[j].size and lb[j].size:
-                            final[j] += w / (
-                                1.0 + _min_pair_dist(la[j], lb[j]))
-            sel_scores = (np.round(final, round_scores)
-                          if round_scores is not None else final)
-            take = min(k, sd.size)
-            top = np.lexsort((sd, -sel_scores))[:take]
-            out_q += [(query_id, k)] * take
-            out_d.append(sd[top])
-            out_s.append(final[top])
-        if not out_q:
-            return pd.DataFrame({"query_id": pd.Series(dtype="str"),
-                                 "doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64"),
-                                 "k": pd.Series(dtype="int32")})
-        return pd.DataFrame({"query_id": [q for q, _ in out_q],
-                             "doc_id": np.concatenate(out_d),
-                             "score": np.concatenate(out_s),
-                             "k": np.array([k for _, k in out_q],
-                                           dtype="int32")})
+        return base(left, psegs)
 
     sel_tf = packed.where(F.col("term").isin(term_list))
     sel_pos = packed_pos.where(F.col("term").isin(term_list))

@@ -214,7 +214,8 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 n_docs: int, avgdl: float, round_scores: int | None,
                 conjunctive: bool = False, filtered: bool = False,
                 eager_decode: bool = False,
-                blocked: np.ndarray | None = None):
+                blocked: np.ndarray | None = None,
+                bound_slack=None, pool_rerank=None):
     """applyInPandas fn: one doc-shard's segments -> per-query top-k
     candidates. queries_meta: (query_id, terms, k); idf comes from the
     segments' stored global_df. ``conjunctive=True`` = AND semantics:
@@ -234,10 +235,23 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
     metadata-scale by the LSM discipline: `packed.purge_docs` folds them
     in at compaction before the set grows) drops candidates the moment
     they are decoded, same soundness argument as the allowed mask with
-    the membership test inverted."""
+    the membership test inverted.
+
+    ``bound_slack`` / ``pool_rerank`` are the SECOND-STAGE-RANKER hooks
+    (disjunctive branch only; proximity.wand_topk_proximity is the
+    client): ``bound_slack(n_terms) -> float`` is a sound upper bound on
+    how much a reranker can ADD to any doc's BM25 score — it widens the
+    remaining-bound and block-max prune tests while theta stays the k-th
+    best BM25-only pool score (a lower bound of the k-th best final
+    score, since the addition is non-negative); ``pool_rerank(query_id,
+    present_terms, docs, scores, ctx) -> scores`` then scores the
+    surviving pool exactly, with ``ctx`` whatever the caller's cogroup
+    wrapper passed to ``run`` (e.g. decoded positional segments). One
+    kernel, every prune fix lands on both paths."""
     eps = 10.0 ** (-round_scores) if round_scores is not None else 0.0
 
-    def run(pdf: pd.DataFrame, allowed: np.ndarray | None) -> pd.DataFrame:
+    def run(pdf: pd.DataFrame, allowed: np.ndarray | None,
+            ctx=None) -> pd.DataFrame:
         segs: dict[str, _Seg] = {}
         for r in pdf.itertuples(index=False):
             segs[r.term] = _Seg(r, n_docs, avgdl)
@@ -283,6 +297,7 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 out_s.append(scores[order])
                 continue
             # MaxScore, term-at-a-time, sorted by upper bound U desc
+            slack = float(bound_slack(len(terms))) if bound_slack else 0.0
             terms.sort(key=lambda x: -(x[1].idf * x[1].ub_norm))
             ubs = np.array([seg.idf * seg.ub_norm for _, seg in terms])
             rem = np.cumsum(ubs[::-1])[::-1]  # RB_i = sum of U_j, j >= i
@@ -290,7 +305,7 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
             pool_scores = np.empty(0, dtype=np.float64)
             theta = -math.inf
             for i, (t, seg) in enumerate(terms):
-                if rem[i] < theta - eps:
+                if rem[i] + slack < theta - eps:
                     break
                 docs_i, norms_i = seg.full()
                 if pool_docs.size:
@@ -331,7 +346,7 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                     # undecoded — once every term is fully decoded the
                     # bound pass costs as much as the exact lookups it
                     # would save.
-                    bound = own.copy()
+                    bound = own + slack
                     for j, (_, seg2) in enumerate(terms):
                         if j != i:
                             bound += seg2.idf * seg2.block_ub_at(new_docs)
@@ -348,6 +363,12 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
                 if pool_docs.size >= k:
                     theta = np.partition(pool_scores, -k)[-k]
             if pool_docs.size:
+                if pool_rerank is not None:
+                    order0 = np.argsort(pool_docs)
+                    pool_docs = pool_docs[order0]
+                    pool_scores = pool_rerank(
+                        query_id, [t for t, _ in terms], pool_docs,
+                        pool_scores[order0], ctx)
                 # per-shard selection follows the GLOBAL ordering discipline:
                 # rounded score desc, doc_id asc
                 sel_scores = (np.round(pool_scores, round_scores)
@@ -374,8 +395,8 @@ def _shard_topk(queries_meta: list[tuple[str, list[str], int]],
             return run(left, allowed)
         return fn_cogroup
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return run(pdf, None)
+    def fn(pdf: pd.DataFrame, ctx=None) -> pd.DataFrame:
+        return run(pdf, None, ctx)
 
     return fn
 
@@ -512,6 +533,9 @@ def rank_candidates(spark: SparkSession, cands: DataFrame,
     per-shard candidates' scores, then produce the global per-query
     top-k — either as the lazy rank window or the driver-side heap merge
     (see `wand_topk`'s ``final_rank``)."""
+    if final_rank not in ("window", "driver"):
+        raise ValueError(f"final_rank must be 'window' or 'driver', "
+                         f"got {final_rank!r}")
     score = F.round(F.col("score"), round_scores) if round_scores is not None \
         else F.col("score")
     scored = cands.withColumn("score", score)

@@ -171,3 +171,33 @@ def test_proximity_packed_tombstoned(spark, built):
         spark, tf_packed, pos_packed, idx.doc_stats, queries=PROX_QUERIES,
         blocked_ids=tomb))
     assert got == want
+
+
+def test_proximity_cosharding_guard(spark, built):
+    """A positional table packed with a DIFFERENT shard span must fail
+    loudly inside the kernel, not silently score every bonus as 0."""
+    idx, avgdl, pos = built
+    tf_packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=64)
+    pos_misaligned = build_packed_positions(pos, shard_span=10_000)
+    with pytest.raises(Exception, match="co-sharded"):
+        wand_topk_proximity(spark, tf_packed, pos_misaligned,
+                            idx.doc_stats, queries=PROX_QUERIES).collect()
+
+
+def test_redact_pii_zero_padded_ip(spark):
+    """Zero-padded quads (syslog/firewall exports) still redact; octet
+    overflow ('1.2.3.400') stays untouched."""
+    from mini_distributed_search_engine_spark.functions.textstats import (
+        redact_pii)
+    docs = spark.createDataFrame(
+        [(0, "src 192.168.001.007 dropped"),
+         (1, "at 010.001.001.007 end"),
+         (2, "semver 1.2.3.400 is fine"),
+         (3, "plain 10.1.1.7 here")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert "[IPV4]" in rows[0]["text_redacted"] and rows[0]["n_ipv4"] == 1
+    assert "[IPV4]" in rows[1]["text_redacted"] and rows[1]["n_ipv4"] == 1
+    assert rows[2]["text_redacted"] == "semver 1.2.3.400 is fine"
+    assert rows[2]["n_ipv4"] == 0
+    assert "[IPV4]" in rows[3]["text_redacted"]
