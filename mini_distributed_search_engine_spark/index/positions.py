@@ -313,3 +313,117 @@ class _PSeg:
             j = pos_c[i]
             out[i] = flat[starts[j]:starts[j] + counts[j]]
         return out
+
+
+def merge_packed_positions(packed_pos: DataFrame,
+                           level_factor: int = 8) -> DataFrame:
+    """One hierarchical merge level for positional segments — the same
+    byte-splice discipline as `packed.merge_packed`: adjacent doc-shards
+    of a term coalesce with O(bytes) work (only the right-hand run's
+    first doc gap is rewritten; counts and position deltas concatenate
+    unchanged because every doc's delta stream is self-contained), block
+    metadata concatenates with shifted byte offsets. new shard_id =
+    old shard_id DIV level_factor; exactly reproduces a full re-encode
+    (test-enforced)."""
+    from .codec import splice_gap_streams
+
+    cols = [f.name for f in POS_SCHEMA.fields]
+
+    def merge_one(term, new_shard, g: pd.DataFrame) -> dict:
+        g = g.sort_values(["shard_id", "first_doc"])
+        rows = list(g.itertuples(index=False))
+        acc = rows[0]
+        out_gaps = bytes(acc.doc_gaps)
+        cnts = bytearray(bytes(acc.pos_counts))
+        poss = bytearray(bytes(acc.pos_deltas))
+        block_last = list(acc.block_last_doc)
+        gap_ends = [block_ends_array(bytes(acc.block_gap_ends))]
+        cnt_ends = [block_ends_array(bytes(acc.block_cnt_ends))]
+        pos_ends = [block_ends_array(bytes(acc.block_pos_ends))]
+        df = int(acc.df)
+        n_pos = int(acc.n_pos)
+        last_doc = int(acc.last_doc)
+        for r in rows[1:]:
+            if int(r.first_doc) <= last_doc:
+                raise ValueError(
+                    f"interleaved positional runs for term={term!r} "
+                    f"shard={acc.shard_id}: run starting at {r.first_doc} "
+                    f"overlaps previous end {last_doc}")
+            r_gaps = bytes(r.doc_gaps)
+            out_gaps = splice_gap_streams(0, out_gaps, last_doc,
+                                          int(r.first_doc), r_gaps)
+            shift = len(out_gaps) - len(r_gaps)
+            gap_ends.append(block_ends_array(bytes(r.block_gap_ends)) + shift)
+            cnt_ends.append(block_ends_array(bytes(r.block_cnt_ends))
+                            + len(cnts))
+            pos_ends.append(block_ends_array(bytes(r.block_pos_ends))
+                            + len(poss))
+            cnts += bytes(r.pos_counts)
+            poss += bytes(r.pos_deltas)
+            block_last += list(r.block_last_doc)
+            df += int(r.df)
+            n_pos += int(r.n_pos)
+            last_doc = int(r.last_doc)
+        return {
+            "term": term, "shard_id": int(new_shard), "df": df,
+            "n_pos": n_pos, "first_doc": int(acc.first_doc),
+            "last_doc": last_doc, "doc_gaps": out_gaps,
+            "pos_counts": bytes(cnts), "pos_deltas": bytes(poss),
+            "block_last_doc": block_last,
+            "block_gap_ends": np.concatenate(gap_ends).astype("<i8").tobytes(),
+            "block_cnt_ends": np.concatenate(cnt_ends).astype("<i8").tobytes(),
+            "block_pos_ends": np.concatenate(pos_ends).astype("<i8").tobytes(),
+        }
+
+    def merge_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        new_shard = int(key[0])
+        out = [merge_one(term, new_shard, g)
+               for term, g in pdf.groupby("term", sort=False)]
+        return pd.DataFrame(out, columns=cols)
+
+    lv = packed_pos.withColumn(
+        "_new_shard", (F.col("shard_id") / F.lit(level_factor)).cast("int"))
+    return lv.groupBy("_new_shard").applyInPandas(merge_shard, POS_SCHEMA)
+
+
+def purge_positions(packed_pos: DataFrame, doc_ids) -> DataFrame:
+    """Physical tombstone purge for positional segments — the delete half
+    of the LSM lifecycle, mirroring `packed.purge_docs`: two binary
+    searches decide whether a segment's [first_doc, last_doc] range
+    intersects the tombstones; untouched segments pass through
+    byte-identical (test-enforced), intersecting ones re-encode their
+    surviving docs' positions, fully-deleted segments disappear. Run it
+    at compaction time beside the TF purge so phrase/proximity stop
+    matching deleted docs once the query-time tombstone set resets."""
+    from .packed import _as_sorted_ids
+
+    tomb = _as_sorted_ids(doc_ids)
+    cols = [f.name for f in POS_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                lo = np.searchsorted(tomb, int(r.first_doc), side="left")
+                hi = np.searchsorted(tomb, int(r.last_doc), side="right")
+                if lo == hi:  # no tombstone inside this segment's range
+                    out.append({c: getattr(r, c) for c in cols})
+                    continue
+                docs, counts, flat = _decode_all(
+                    bytes(r.doc_gaps), bytes(r.pos_counts),
+                    bytes(r.pos_deltas))
+                keep = ~np.isin(docs, tomb[lo:hi])
+                if not keep.any():
+                    continue  # segment fully deleted
+                if keep.all():  # tombstones in range, none in this term
+                    out.append({c: getattr(r, c) for c in cols})
+                    continue
+                row = {"term": r.term, "shard_id": int(r.shard_id)}
+                row.update(encode_positions(
+                    np.repeat(docs[keep], counts[keep]),
+                    flat[np.repeat(keep, counts)]))
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    return packed_pos.mapInPandas(gen, POS_SCHEMA)

@@ -138,7 +138,8 @@ class SearchEngine:
         filtered out of the exhaustive and phrase paths) WITHOUT touching
         the at-rest index — a delete is O(1) metadata, the LSM write
         discipline. Fold the accumulated set into the index with
-        `packed.purge_docs` at compaction time, then start a fresh engine
+        `packed.purge_docs` (and `positions.purge_positions` for the
+        positional side) at compaction time, then start a fresh engine
         on the purged index. Returns the total live tombstone count.
 
         Rebinds the set instead of mutating in place so concurrent

@@ -201,3 +201,63 @@ def test_redact_pii_zero_padded_ip(spark):
     assert rows[2]["text_redacted"] == "semver 1.2.3.400 is fine"
     assert rows[2]["n_ipv4"] == 0
     assert "[IPV4]" in rows[3]["text_redacted"]
+
+
+def test_positions_merge_levels(spark, built):
+    """Hierarchical positional merges: byte-splice levels reproduce the
+    rows exactly and the phrase kernel stays rank-identical."""
+    from mini_distributed_search_engine_spark.index.positions import (
+        merge_packed_positions)
+    _, _, pos = built
+    packed = build_packed_positions(pos, shard_span=64)
+    merged = merge_packed_positions(
+        merge_packed_positions(packed, level_factor=4), level_factor=4)
+    want = sorted((r["doc_id"], r["term"], r["pos"]) for r in pos.collect())
+    got = sorted((r["doc_id"], r["term"], r["pos"])
+                 for r in unpack_positions(merged).collect())
+    assert got == want
+    assert merged.count() < packed.count()
+    base = _key_rows(phrase_match_packed(spark, packed, PHRASE_QUERIES),
+                     ("query_id", "rank", "doc_id", "n_occ"))
+    lvl = _key_rows(phrase_match_packed(spark, merged, PHRASE_QUERIES),
+                    ("query_id", "rank", "doc_id", "n_occ"))
+    assert lvl == base
+
+
+def test_positions_purge(spark, built):
+    """purge_positions removes exactly the tombstoned docs' positions and
+    leaves every non-intersecting segment byte-identical."""
+    from mini_distributed_search_engine_spark.index.positions import (
+        purge_positions)
+    _, _, pos = built
+    packed = build_packed_positions(pos, shard_span=64).cache()
+    tomb = [3, 64, 65, 130]
+    purged = purge_positions(packed, tomb)
+    want = sorted((r["doc_id"], r["term"], r["pos"]) for r in
+                  pos.where(~F.col("doc_id").isin(tomb)).collect())
+    got = sorted((r["doc_id"], r["term"], r["pos"])
+                 for r in unpack_positions(purged).collect())
+    assert got == want
+    # untouched segments (no tombstone in their PRE-purge range) pass
+    # through byte-equal
+    before = {(r["term"], r["shard_id"]):
+              (bytes(r["pos_deltas"]), r["first_doc"], r["last_doc"])
+              for r in packed.collect()}
+    tomb_sorted = sorted(tomb)
+    import bisect
+    n_same = 0
+    for r in purged.collect():
+        blob, fd, ld = before[(r["term"], r["shard_id"])]
+        if bisect.bisect_left(tomb_sorted, fd) == bisect.bisect_right(
+                tomb_sorted, ld):
+            assert bytes(r["pos_deltas"]) == blob
+            n_same += 1
+    assert n_same > 0
+    # phrase over the purged pack == phrase over filtered rows
+    a = _key_rows(phrase_match_packed(spark, purged, PHRASE_QUERIES),
+                  ("query_id", "rank", "doc_id", "n_occ"))
+    b = _key_rows(phrase_match(
+        spark, pos.where(~F.col("doc_id").isin(tomb)), PHRASE_QUERIES),
+        ("query_id", "rank", "doc_id", "n_occ"))
+    assert a == b
+    packed.unpersist()
