@@ -164,6 +164,59 @@ def main() -> None:
         wand_topk(spark, packed_r, doc_stats, queries=BENCH_QUERIES,
                   corpus_stats=corpus_stats).collect()
         batch_sec = min(batch_sec, round(time.perf_counter() - t, 4))
+    # ---- packed positional serving (round 5; ADDITIVE keys — the
+    # headline `value` keeps its r1-r4 composition for cross-round
+    # comparability). Positions packed once co-sharded with the cached
+    # TF segments, then phrase + proximity per-query warm timings.
+    from mini_distributed_search_engine_spark.functions.analyzer import (
+        term_positions_pandas)
+    from mini_distributed_search_engine_spark.index.positions import (
+        build_packed_positions)
+    from mini_distributed_search_engine_spark.query.phrase import (
+        phrase_match_packed)
+    from mini_distributed_search_engine_spark.query.proximity import (
+        wand_topk_proximity)
+    from mini_distributed_search_engine_spark.query.wand import (
+        compute_shard_bounds)
+    docs_df = idx.docs  # the persisted build root's doc table
+    pos_pack_sec = float("inf")
+    bounds = compute_shard_bounds(packed_r)
+    for _ in range(2):                 # min-of-2: one fewer rep — the
+        tp = time.perf_counter()       # pack is a single wide stage
+        (build_packed_positions(
+            term_positions_pandas(docs_df, "text", stem=True),
+            shard_bounds=bounds)
+         .write.mode("overwrite").parquet(str(out_dir / "pos_packed")))
+        pos_pack_sec = min(pos_pack_sec, time.perf_counter() - tp)
+    pos_packed = (spark.read.parquet(str(out_dir / "pos_packed"))
+                  .repartition(cpus, "shard_id").cache())
+    pos_packed.count()
+    PHRASE_BENCH = (Query("p01", "apple banana", k=100),
+                    Query("p02", "search engine", k=100),
+                    Query("p03", "spark shuffle partition", k=100))
+    phrase_match_packed(spark, pos_packed, PHRASE_BENCH[:1]).collect()
+    wand_topk_proximity(spark, packed_r, pos_packed, doc_stats,
+                        queries=BENCH_QUERIES[:1],
+                        corpus_stats=corpus_stats).collect()
+    per_phrase: dict[str, float] = {}
+    for q in PHRASE_BENCH:
+        best = float("inf")
+        for _ in range(query_runs):
+            t = time.perf_counter()
+            phrase_match_packed(spark, pos_packed, (q,)).collect()
+            best = min(best, time.perf_counter() - t)
+        per_phrase[q.query_id] = round(best, 4)
+    per_prox: dict[str, float] = {}
+    for q in BENCH_QUERIES:
+        best = float("inf")
+        for _ in range(query_runs):
+            t = time.perf_counter()
+            wand_topk_proximity(spark, packed_r, pos_packed, doc_stats,
+                                queries=(q,), corpus_stats=corpus_stats,
+                                final_rank="driver").collect()
+            best = min(best, time.perf_counter() - t)
+        per_prox[q.query_id] = round(best, 4)
+
     lat = sorted(per_query.values())
     p50 = lat[len(lat) // 2]
     lat_w = sorted(per_query_wand.values())
@@ -186,6 +239,12 @@ def main() -> None:
         "query_wand_p50_sec": p50_w,
         "batch_queries_sec": batch_sec,
         "batch_per_query_sec": round(batch_sec / len(BENCH_QUERIES), 4),
+        "pos_pack_sec": round(pos_pack_sec, 3),
+        "queries_phrase_packed": per_phrase,
+        "phrase_packed_p50_sec": sorted(per_phrase.values())[
+            len(per_phrase) // 2],
+        "queries_prox_packed": per_prox,
+        "prox_packed_p50_sec": sorted(per_prox.values())[len(per_prox) // 2],
         "cpus": cpus,
     }))
 
