@@ -268,6 +268,17 @@ def _phrase_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match_packed(spark, _positions_packed(spark, sf_dir))
 
 
+def _span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW round 5: span/near retrieval — all query terms within a token
+    window, ranked tightest-span-first — served from the packed
+    positional index (sorted-merge sliding-window kernel per doc-range
+    shard); oracle = brute-force min over the per-doc position cross
+    product (an m-way join in SQL). Two algorithms, one answer."""
+    from mini_distributed_search_engine_spark.query.span import (
+        span_near_match)
+    return span_near_match(spark, _positions_packed(spark, sf_dir))
+
+
 def _bm25_proximity_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW round 5: proximity-boosted retrieval served from the COMPRESSED
     indexes — packed TF segments cogrouped per doc-range shard with
@@ -714,16 +725,20 @@ _R5_WINDOW = (
     "packed_incremental_roundtrip", "dedup_exact", "dedup_lsh_candidates",
     "dedup_components", "dedup_components_star", "embed_ivf_ann_topk",
     "embed_ivf_partitioned_topk",
-    # 41-43: NEW this round (packed positional index family)
+    # 41-44: NEW this round (packed positional index family; the span
+    # entry took bm25_topk_and_wand's changed-impl slot — that entry's
+    # changed code path, the rank_candidates tail, is identically
+    # exercised by in-window bm25_topk_wand, and its kernel branch by
+    # the conjunctive pytest suite)
     "positions_packed_roundtrip", "phrase_match_packed",
-    "bm25_topk_proximity_wand",
-    # 44-50: implementation changed this round — a regression must not
+    "bm25_topk_proximity_wand", "span_near_match",
+    # 45-50: implementation changed this round — a regression must not
     # pass the gate (corpus_stats threading through the exhaustive
     # scorers: bm25_topk/and/filtered/proximity; the rank_candidates/
-    # driver-merge tail refactor of wand_topk: wand/and_wand; the
-    # tightened ipv4 PII pattern: redact_pii)
+    # driver-merge tail refactor of wand_topk: wand; the tightened
+    # ipv4 PII pattern: redact_pii)
     "bm25_topk", "bm25_topk_and", "bm25_topk_filtered",
-    "bm25_topk_proximity", "bm25_topk_wand", "bm25_topk_and_wand",
+    "bm25_topk_proximity", "bm25_topk_wand",
     "text_redact_pii",
 )
 assert len(_R5_WINDOW) == 50 and len(set(_R5_WINDOW)) == 50
@@ -814,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "positions_packed_roundtrip": _positions_packed_roundtrip,
         "phrase_match_packed": _phrase_packed,
         "bm25_topk_proximity_wand": _bm25_proximity_wand,
+        "span_near_match": _span_near,
         "packed_roundtrip": _packed_roundtrip,
         "index_lineage": _index_lineage,
         "packed_incremental_roundtrip": _packed_incremental,
@@ -972,6 +988,7 @@ def oracle_sql() -> dict[str, str]:
         "positions_packed_roundtrip": O.sql_term_positions(stem=True),
         "phrase_match_packed": O.sql_phrase_match(stem=True),
         "bm25_topk_proximity_wand": O.sql_bm25_topk_proximity(stem=True),
+        "span_near_match": O.sql_span_near_match(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         # same postings oracle minus the deterministic tombstone slice
         # (dl keeps its pre-delete value: a doc's length never depends on

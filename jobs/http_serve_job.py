@@ -13,6 +13,7 @@ Routes (JSON replies):
   GET /search?q=<text>&k=10&mode=or|and[&role=<role>]  ranked BM25
   GET /phrase?q=<text>&k=10                            exact phrase match
   GET /proximity?q=<text>&k=10                         BM25 + closeness bonus
+  GET /near?q=<text>&k=10&window=8                     all terms within window
   GET /hybrid?q=<text>&vec=<id>&k=10                   BM25 + IVF-ANN RRF
   GET /words?prefix=<p>&n=10                           autocomplete by df
   GET /stats                                           corpus stats + p50
@@ -46,8 +47,8 @@ from mini_distributed_search_engine_spark.session import get_spark
 def _row_json(r) -> dict:
     d = r.asDict()
     return {k: d[k] for k in
-            ("rank", "doc_id", "score", "rrf", "n_occ", "conv_id",
-             "turn_idx", "role", "snippet") if k in d}
+            ("rank", "doc_id", "score", "rrf", "n_occ", "min_span",
+             "conv_id", "turn_idx", "role", "snippet") if k in d}
 
 
 def _pos_int(q: dict, key: str, default: int, cap: int = 10_000) -> int:
@@ -115,6 +116,16 @@ def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
                         return self._json(400, {"err": "q parameter required"})
                     rows = engine.search_proximity(q["q"],
                                                    k=_pos_int(q, "k", 10))
+                    took = time.perf_counter() - t0
+                    self._record(took)
+                    return self._json(200, {"rows": [_row_json(r) for r in rows],
+                                            "took_sec": round(took, 4)})
+                if u.path == "/near":
+                    if "q" not in q:
+                        return self._json(400, {"err": "q parameter required"})
+                    rows = engine.search_near(
+                        q["q"], k=_pos_int(q, "k", 10),
+                        window=_pos_int(q, "window", 8, cap=10_000))
                     took = time.perf_counter() - t0
                     self._record(took)
                     return self._json(200, {"rows": [_row_json(r) for r in rows],

@@ -427,3 +427,33 @@ def purge_positions(packed_pos: DataFrame, doc_ids) -> DataFrame:
                 yield pd.DataFrame(out, columns=cols)
 
     return packed_pos.mapInPandas(gen, POS_SCHEMA)
+
+
+def append_packed_positions(old_packed: DataFrame, new_positions: DataFrame,
+                            shard_span: int = DEFAULT_SHARD_SPAN
+                            ) -> DataFrame:
+    """Incremental positional append, mirroring `packed.append_packed`:
+    fold NEW docs' positions into an existing packed positional index
+    without re-encoding old segments. Requires append-only doc identity
+    (every new doc_id exceeds every old one — the stable-docID
+    discipline); only the single boundary shard where old and new doc
+    ranges meet is spliced (a byte splice via the level_factor=1 merge),
+    every other segment passes through untouched."""
+    new_seg = build_packed_positions(new_positions, shard_span=shard_span)
+    cols = [f.name for f in POS_SCHEMA.fields]
+    unioned = old_packed.select(*cols).unionByName(new_seg.select(*cols))
+    old_top = old_packed.agg(F.max("shard_id").alias("s"),
+                             F.max("last_doc").alias("d")).collect()[0]
+    bshard = old_top["s"]
+    if bshard is None:  # appending to an empty index
+        return new_seg
+    new_min = new_positions.agg(F.min("doc_id")).collect()[0][0]
+    if new_min is not None and int(new_min) <= int(old_top["d"]):
+        raise ValueError(
+            f"append_packed_positions requires append-only doc identity: "
+            f"new min doc_id {new_min} <= existing max doc {old_top['d']} "
+            "(interleaved positional runs) — rebuild instead of appending")
+    untouched = unioned.where(F.col("shard_id") != F.lit(bshard))
+    spliced = merge_packed_positions(
+        unioned.where(F.col("shard_id") == F.lit(bshard)), level_factor=1)
+    return untouched.unionByName(spliced)

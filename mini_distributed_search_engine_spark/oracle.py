@@ -563,3 +563,50 @@ SELECT query_id,
                      score DESC, doc_id ASC) AS INT) AS rank,
        doc_id, score, title_matches, body_matches
 FROM final"""
+
+
+def sql_span_near_match(stem: bool = True,
+                        queries: tuple = None,
+                        window: int = 8) -> str:
+    """Mirror of query/span.py::span_near_match — per doc the MINIMUM of
+    max-min over one position per distinct query term, computed by brute
+    force over the per-doc position cross product (an m-way doc join of
+    the seq CTE; the engine's sorted-merge sliding window must agree),
+    match iff min_span < window, rank (min_span ASC, doc_id ASC)."""
+    from .query.span import SPAN_QUERY_SET
+    if queries is None:
+        queries = SPAN_QUERY_SET
+    parts = []
+    for q in queries:
+        uniq = sorted(set(analyze(q.text, stem=stem)))
+        if not uniq:
+            continue
+        qid = _sql_str(q.query_id)
+        if len(uniq) == 1:
+            parts.append(
+                f"SELECT {qid} AS query_id, {q.k} AS k, doc_id, "
+                f"CAST(0 AS BIGINT) AS min_span FROM (SELECT DISTINCT "
+                f"doc_id FROM seq WHERE term = {_sql_str(uniq[0])})")
+            continue
+        joins = (f"(SELECT doc_id, pos AS p0 FROM seq "
+                 f"WHERE term = {_sql_str(uniq[0])}) s0")
+        for i, t in enumerate(uniq[1:], start=1):
+            joins += (f" JOIN (SELECT doc_id, pos AS p{i} FROM seq "
+                      f"WHERE term = {_sql_str(t)}) s{i} USING (doc_id)")
+        ps = ", ".join(f"p{i}" for i in range(len(uniq)))
+        parts.append(
+            f"SELECT {qid} AS query_id, {q.k} AS k, doc_id, "
+            f"CAST(min(greatest({ps}) - least({ps})) AS BIGINT) "
+            f"AS min_span FROM {joins} GROUP BY doc_id")
+    if not parts:
+        return ("SELECT CAST(NULL AS VARCHAR) AS query_id, "
+                "CAST(NULL AS INT) AS rank, CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS BIGINT) AS min_span WHERE FALSE")
+    return _positions_ctes(stem) + f""",
+spans AS ({' UNION ALL '.join(parts)}),
+ranked AS (
+  SELECT query_id, doc_id, min_span, k,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY min_span ASC, doc_id ASC) AS INT) AS rank
+  FROM spans WHERE min_span < {int(window)})
+SELECT query_id, rank, doc_id, min_span FROM ranked WHERE rank <= k"""

@@ -418,13 +418,20 @@ class SearchEngine:
             stage = f"{self._index_root}/positions_packed/data"
             if os.path.isdir(stage):
                 self._positions_packed = self.spark.read.parquet(stage).cache()
-            else:
+            elif self.use_packed:
                 from ..index.positions import build_packed_positions
                 if self._shard_bounds is None:
                     self._shard_bounds = compute_shard_bounds(self.packed)
                 self._positions_packed = build_packed_positions(
                     self._positions_df(),
                     shard_bounds=self._shard_bounds).cache()
+            else:
+                # exhaustive engine: no TF shards to co-shard with;
+                # standalone doc-range sharding is fine for the
+                # positional-only kernels (phrase/span)
+                from ..index.positions import build_packed_positions
+                self._positions_packed = build_packed_positions(
+                    self._positions_df()).cache()
             self._positions_packed.count()
         return self._positions_packed
 
@@ -444,6 +451,17 @@ class SearchEngine:
             if tomb is not None:
                 pos = self._mask_tomb(pos, "doc_id", tomb)
             df = phrase_match(self.spark, pos, (Query("q", text, k=k),))
+        return df.orderBy("rank").collect()
+
+    def search_near(self, text: str, k: int = 10, window: int = 8) -> list:
+        """Span/near search: docs where EVERY query term occurs within a
+        ``window``-token range, tightest span first; rows
+        (rank, doc_id, min_span). Served from the packed positional
+        segments with tombstones masked in-kernel."""
+        from .span import span_near_match
+        df = span_near_match(self.spark, self._packed_positions_df(),
+                             (Query("q", text, k=k),), window=window,
+                             blocked_ids=self._tomb())
         return df.orderBy("rank").collect()
 
     def search_proximity(self, text: str, k: int = 10,

@@ -132,3 +132,14 @@ def test_proximity_route(http_base):
     by_doc = {r["doc_id"]: r["score"] for r in plain["rows"]}
     assert all(r["score"] >= by_doc[r["doc_id"]] - 1e-9
                for r in body["rows"])
+
+
+def test_near_route(http_base):
+    code, body = _get(f"{http_base}/near?q=apple+banana&k=5&window=10")
+    assert code == 200
+    rows = body["rows"]
+    assert all(r["min_span"] < 10 for r in rows)
+    if rows:
+        assert rows[0]["rank"] == 1
+        spans = [r["min_span"] for r in rows]
+        assert spans == sorted(spans)

@@ -261,3 +261,29 @@ def test_positions_purge(spark, built):
         ("query_id", "rank", "doc_id", "n_occ"))
     assert a == b
     packed.unpersist()
+
+
+def test_positions_append(spark, built):
+    """Incremental positional append == full rebuild, byte-for-byte on
+    the posting streams; old-range appends fail loudly."""
+    from mini_distributed_search_engine_spark.index.positions import (
+        append_packed_positions)
+    _, _, pos = built
+    cut = 150
+    old = build_packed_positions(
+        pos.where(F.col("doc_id") < cut), shard_span=64)
+    appended = append_packed_positions(
+        old, pos.where(F.col("doc_id") >= cut), shard_span=64)
+    rebuilt = build_packed_positions(pos, shard_span=64)
+    a = {(r["term"], r["shard_id"]):
+         (bytes(r["doc_gaps"]), bytes(r["pos_counts"]),
+          bytes(r["pos_deltas"]), r["df"], r["n_pos"])
+         for r in appended.collect()}
+    b = {(r["term"], r["shard_id"]):
+         (bytes(r["doc_gaps"]), bytes(r["pos_counts"]),
+          bytes(r["pos_deltas"]), r["df"], r["n_pos"])
+         for r in rebuilt.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="append-only"):
+        append_packed_positions(old, pos.where(F.col("doc_id") < 10),
+                                shard_span=64)
