@@ -396,6 +396,43 @@ def _packed_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpack_to_rows(purge_docs(packed, _tomb_ids(idx)))
 
 
+def _drain_sf_stream(spark: SparkSession, sf_dir: str, root: str,
+                     with_positions: bool = False):
+    """Shared streaming-gate harness: split the sf transcripts on
+    conversation boundaries into three files (append-only order), drain
+    them through the foreachBatch incremental-append sink as three
+    micro-batches, return the StreamingIndexer."""
+    from pathlib import Path
+    from mini_distributed_search_engine_spark.streaming.indexing import (
+        StreamingIndexer, read_transcript_stream)
+    src = Path(root) / "in"
+    src.mkdir()
+    tr = transcripts_from_documents(spark, sf_dir)
+    pdf = tr.orderBy("conv_id", "turn_idx").toPandas()
+    convs = sorted(pdf["conv_id"].unique())
+    bounds = [convs[len(convs) // 3], convs[2 * len(convs) // 3]]
+    chunks = [pdf[pdf["conv_id"] < bounds[0]],
+              pdf[(pdf["conv_id"] >= bounds[0])
+                  & (pdf["conv_id"] < bounds[1])],
+              pdf[pdf["conv_id"] >= bounds[1]]]
+    # sequential writes => increasing mod-times; the file source drains
+    # oldest-first, preserving the append-only conv order across batches
+    for i, chunk in enumerate(chunks):
+        (spark.createDataFrame(chunk, schema=tr.schema).coalesce(1)
+         .write.parquet(str(src / f"part{i}.parquet")))
+    indexer = StreamingIndexer(spark, str(Path(root) / "idx"),
+                               shard_span=128,
+                               with_positions=with_positions)
+    q = indexer.start(read_transcript_stream(spark, str(src)))
+    if not q.awaitTermination(300):
+        # slow-VM drain overran: stop the writer BEFORE compact/read
+        # (single-writer contract) and fail loudly rather than return
+        # a partial index
+        q.stop()
+        raise RuntimeError("streaming drain did not finish in 300s")
+    return indexer
+
+
 def _streaming_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING-built index against the DuckDB postings oracle: the
     sf transcripts are split on conversation boundaries into three files
@@ -408,38 +445,34 @@ def _streaming_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry proves the streaming path against the independent oracle."""
     import shutil
     import tempfile
-    from pathlib import Path
-    from mini_distributed_search_engine_spark.streaming.indexing import (
-        StreamingIndexer, read_transcript_stream)
     root = tempfile.mkdtemp(prefix="mdse_stream_gate_")
     try:
-        src = Path(root) / "in"
-        src.mkdir()
-        tr = transcripts_from_documents(spark, sf_dir)
-        pdf = tr.orderBy("conv_id", "turn_idx").toPandas()
-        convs = sorted(pdf["conv_id"].unique())
-        bounds = [convs[len(convs) // 3], convs[2 * len(convs) // 3]]
-        chunks = [pdf[pdf["conv_id"] < bounds[0]],
-                  pdf[(pdf["conv_id"] >= bounds[0])
-                      & (pdf["conv_id"] < bounds[1])],
-                  pdf[pdf["conv_id"] >= bounds[1]]]
-        # sequential writes => increasing mod-times; the file source drains
-        # oldest-first, preserving the append-only conv order across batches
-        for i, chunk in enumerate(chunks):
-            (spark.createDataFrame(chunk, schema=tr.schema).coalesce(1)
-             .write.parquet(str(src / f"part{i}.parquet")))
-        indexer = StreamingIndexer(spark, str(Path(root) / "idx"),
-                                   shard_span=128)
-        q = indexer.start(read_transcript_stream(spark, str(src)))
-        if not q.awaitTermination(300):
-            # slow-VM drain overran: stop the writer BEFORE compact/read
-            # (single-writer contract) and fail loudly rather than return
-            # a partial index
-            q.stop()
-            raise RuntimeError("streaming drain did not finish in 300s")
+        indexer = _drain_sf_stream(spark, sf_dir, root)
         indexer.compact()
         rows = unpack_to_rows(indexer.packed())
         # localize (sf0.01-scale result) so the scratch root can be removed
+        return spark.createDataFrame(rows.collect(), rows.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _streaming_positions_roundtrip(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """NEW round 5: the STREAM-MAINTAINED packed positional index
+    (`StreamingIndexer(with_positions=True)` — per-batch pos_gN
+    directories, boundary-shard splices, one LSM compaction) decoded
+    back to (doc_id, term, pos) rows against the same positional oracle
+    as `term_positions` / `positions_packed_roundtrip`: the ingestion
+    path changes, the positions must not."""
+    import shutil
+    import tempfile
+    from mini_distributed_search_engine_spark.index.positions import (
+        unpack_positions)
+    root = tempfile.mkdtemp(prefix="mdse_stream_pos_gate_")
+    try:
+        indexer = _drain_sf_stream(spark, sf_dir, root, with_positions=True)
+        indexer.compact()
+        rows = unpack_positions(indexer.positions_packed())
         return spark.createDataFrame(rows.collect(), rows.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -725,19 +758,23 @@ _R5_WINDOW = (
     "packed_incremental_roundtrip", "dedup_exact", "dedup_lsh_candidates",
     "dedup_components", "dedup_components_star", "embed_ivf_ann_topk",
     "embed_ivf_partitioned_topk",
-    # 41-44: NEW this round (packed positional index family; the span
-    # entry took bm25_topk_and_wand's changed-impl slot — that entry's
-    # changed code path, the rank_candidates tail, is identically
-    # exercised by in-window bm25_topk_wand, and its kernel branch by
-    # the conjunctive pytest suite)
+    # 41-45: NEW this round (packed positional index family; the span
+    # and streaming-positions entries took bm25_topk_and_wand's and
+    # bm25_topk_and's changed-impl slots — those entries' changed code
+    # paths (the rank_candidates tail and the corpus_stats parameter
+    # pattern) are identically exercised by in-window bm25_topk_wand /
+    # bm25_topk, and their kernel branches by the conjunctive pytest
+    # suite; a never-driver-verified NEW entry outranks a fourth
+    # re-check of a two-line-changed green one)
     "positions_packed_roundtrip", "phrase_match_packed",
     "bm25_topk_proximity_wand", "span_near_match",
-    # 45-50: implementation changed this round — a regression must not
+    "streaming_positions_roundtrip",
+    # 46-50: implementation changed this round — a regression must not
     # pass the gate (corpus_stats threading through the exhaustive
-    # scorers: bm25_topk/and/filtered/proximity; the rank_candidates/
+    # scorers: bm25_topk/filtered/proximity; the rank_candidates/
     # driver-merge tail refactor of wand_topk: wand; the tightened
     # ipv4 PII pattern: redact_pii)
-    "bm25_topk", "bm25_topk_and", "bm25_topk_filtered",
+    "bm25_topk", "bm25_topk_filtered",
     "bm25_topk_proximity", "bm25_topk_wand",
     "text_redact_pii",
 )
@@ -837,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_purge_roundtrip": _packed_purge,
         # NEW round 4: streaming-built index vs the independent oracle
         "streaming_index_roundtrip": _streaming_index_roundtrip,
+        # NEW round 5: stream-maintained positional index, same oracle
+        # family as term_positions
+        "streaming_positions_roundtrip": _streaming_positions_roundtrip,
         "hybrid_rrf_topk": _hybrid_topk,
         # NEW round 4: IVF-ANN semantic leg (the serving-path fusion)
         "hybrid_rrf_ann_topk": _hybrid_ann_topk,
@@ -998,6 +1038,7 @@ def oracle_sql() -> dict[str, str]:
         "index_lineage": O.sql_index_lineage(shard_span=128, stem=True),
         "packed_incremental_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "streaming_index_roundtrip": O.sql_term_doc_tf_dl(stem=True),
+        "streaming_positions_roundtrip": O.sql_term_positions(stem=True),
         "flame_parallelize": (
             "SELECT * FROM (VALUES " + ", ".join(
                 f"({i}, '{w}')" for i, w in enumerate(flame.PARALLELIZE_DATA))

@@ -80,10 +80,23 @@ class StreamingIndexer:
     """foreachBatch sink state: packed index + doc stats under ``root``."""
 
     def __init__(self, spark: SparkSession, root: str,
-                 shard_span: int = 4096):
+                 shard_span: int = 4096,
+                 with_positions: bool = False):
+        """``with_positions=True`` maintains the PACKED POSITIONAL index
+        (`index/positions.py`) beside the TF segments with the same
+        manifest/splice/GC discipline — each batch writes its own
+        ``pos_gN`` directory (plus the spliced boundary shard), manifest
+        entries carry a ``pos_path``, and `positions_packed()` serves
+        the phrase/proximity/span kernels. Same shard_span as the TF
+        side, so the two tables cogroup per shard (the proximity
+        kernel's co-sharding contract) by construction. Only valid from
+        a FRESH root or one already built with positions — enabling it
+        over an existing positions-less manifest raises (those batches'
+        positions are gone)."""
         self.spark = spark
         self.root = Path(root)
         self.shard_span = shard_span
+        self.with_positions = with_positions
         self.root.mkdir(parents=True, exist_ok=True)
         self._checkpoint_id: str | None = None
 
@@ -136,6 +149,30 @@ class StreamingIndexer:
         totals = self.spark.read.parquet(str(totals_dir))
         return (seg.drop("global_df")
                 .join(F.broadcast(totals), "term").select(*_COLS))
+
+    def positions_packed(self) -> DataFrame:
+        """The current packed positional index (with_positions roots):
+        union of each manifest entry's authoritative shard range — the
+        positional twin of `packed()`, readable by phrase_match_packed /
+        wand_topk_proximity / span_near_match."""
+        from ..index.positions import POS_SCHEMA
+        meta = self._meta()
+        man = self._manifest(meta)
+        if not man:
+            return self.spark.createDataFrame([], POS_SCHEMA)
+        if any("pos_path" not in e for e in man):
+            raise ValueError(
+                f"index root {self.root} was not built with "
+                "with_positions=True (manifest entries lack pos_path)")
+        cols = [f.name for f in POS_SCHEMA.fields]
+        parts = []
+        for entry, nxt in zip(man, man[1:] + [None]):
+            df = self.spark.read.parquet(str(self.root / entry["pos_path"]))
+            df = df.where(F.col("shard_id") >= int(entry["start_shard"]))
+            if nxt is not None:
+                df = df.where(F.col("shard_id") < int(nxt["start_shard"]))
+            parts.append(df.select(*cols))
+        return reduce(DataFrame.unionByName, parts)
 
     def corpus_stats(self) -> tuple[int, float]:
         m = self._meta()
@@ -209,6 +246,12 @@ class StreamingIndexer:
 
         gen = int(meta["generation"])
         man = list(self._manifest(meta))
+        if self.with_positions and man and any(
+                "pos_path" not in e for e in man):
+            raise RuntimeError(
+                f"index root {self.root} has manifest entries without "
+                "positions; with_positions=True can only continue a root "
+                "that was built with positions from its first batch")
         new_seg = build_packed_postings(tf_dl, avgdl,
                                         shard_span=self.shard_span)
         seg_dir = f"segs_g{gen + 1}"
@@ -231,6 +274,41 @@ class StreamingIndexer:
             else:
                 out = new_seg
         out.write.mode("overwrite").parquet(str(self.root / seg_dir))
+
+        pos_dir = None
+        if self.with_positions:
+            # positional twin: same shard math, same boundary splice —
+            # one pos_gN directory per batch, O(batch + boundary) bytes
+            from ..functions.analyzer import term_positions_pandas
+            from ..index.positions import (POS_SCHEMA,
+                                           build_packed_positions,
+                                           merge_packed_positions)
+            pcols = [f.name for f in POS_SCHEMA.fields]
+            new_pos = build_packed_positions(
+                term_positions_pandas(w_rows, "text", stem=True),
+                shard_span=self.shard_span)
+            pos_dir = f"pos_g{gen + 1}"
+            if not man:
+                out_pos = new_pos
+            else:
+                bshard = (base - 1) // self.shard_span
+                if base // self.shard_span == bshard:
+                    last = man[-1]
+                    old_p = (self.spark.read
+                             .parquet(str(self.root / last["pos_path"]))
+                             .where(F.col("shard_id") == bshard)
+                             .select(*pcols))
+                    pb = old_p.unionByName(
+                        new_pos.where(F.col("shard_id") == bshard)
+                        .select(*pcols))
+                    out_pos = (merge_packed_positions(pb, level_factor=1)
+                               .unionByName(
+                                   new_pos.where(F.col("shard_id") > bshard)
+                                   .select(*pcols)))
+                else:
+                    out_pos = new_pos
+            out_pos.write.mode("overwrite").parquet(
+                str(self.root / pos_dir))
 
         # totals: old totals (+) this batch's per-term posting counts
         new_tot = tf_dl.groupBy("term").agg(
@@ -267,8 +345,14 @@ class StreamingIndexer:
         # trailing entries whose range became empty are dropped + deleted
         dead = []
         while man and int(man[-1]["start_shard"]) >= start:
-            dead.append(man.pop()["path"])
-        man.append({"path": seg_dir, "start_shard": int(start)})
+            e = man.pop()
+            dead.append(e["path"])
+            if "pos_path" in e:
+                dead.append(e["pos_path"])
+        entry = {"path": seg_dir, "start_shard": int(start)}
+        if pos_dir is not None:
+            entry["pos_path"] = pos_dir
+        man.append(entry)
         meta.update({"n_docs": new_n, "sum_dl": new_sum,
                      "next_doc_id": base + n_new,
                      "generation": gen + 1, "batch_id": int(batch_id),
@@ -337,7 +421,9 @@ class StreamingIndexer:
         meta = self._meta()
         man = self._manifest(meta)
         cur_gen = int(meta["generation"])
-        referenced = {e["path"] for e in man} | {f"totals_g{cur_gen}"}
+        referenced = ({e["path"] for e in man}
+                      | {e["pos_path"] for e in man if "pos_path" in e}
+                      | {f"totals_g{cur_gen}"})
 
         def _gen_of(name: str) -> int:
             try:
@@ -346,7 +432,8 @@ class StreamingIndexer:
                 return cur_gen + 1   # unparseable: treat as newer, keep
         for p in self.root.iterdir():
             if (p.is_dir()
-                    and p.name.startswith(("segs_g", "packed_g", "totals_g"))
+                    and p.name.startswith(("segs_g", "packed_g", "totals_g",
+                                           "pos_g"))
                     and p.name not in referenced
                     and _gen_of(p.name) <= cur_gen):
                 shutil.rmtree(p, ignore_errors=True)
@@ -406,9 +493,22 @@ class StreamingIndexer:
                  .write.mode("overwrite")
                  .parquet(str(self.root / f"totals_g{gen}")))
             seg.unpersist()
-        dead = [e["path"] for e in man]
+        new_entry = {"path": out_dir, "start_shard": 0}
+        if all("pos_path" in e for e in man):
+            # positional twin of the rewrite: shard-filtered union (the
+            # purge gated by the same binary-search range test), one dir
+            from ..index.positions import purge_positions
+            pos_src = self.positions_packed()
+            if tomb.size:
+                pos_src = purge_positions(pos_src, tomb)
+            pos_out = f"pos_g{gen}"
+            pos_src.write.mode("overwrite").parquet(
+                str(self.root / pos_out))
+            new_entry["pos_path"] = pos_out
+        dead = [e["path"] for e in man] + [e["pos_path"] for e in man
+                                           if "pos_path" in e]
         meta.update({"generation": gen, "updated_at": time.time(),
-                     "manifest": [{"path": out_dir, "start_shard": 0}],
+                     "manifest": [new_entry],
                      # id space stays monotone across purges: stamp the
                      # high-water mark BEFORE shrinking the live count so
                      # the next append never reuses a doc id

@@ -148,3 +148,101 @@ def test_compact_with_tombstones_purges_and_fixes_stats(spark, stream_root):
     appended = rows(unpack_to_rows(indexer.packed()))
     new_ids = {r[1] for r in appended} - {r[1] for r in after}
     assert new_ids == {n0, n0 + 1, n0 + 2, n0 + 3}
+
+
+def test_stream_with_positions_matches_batch(spark, tmp_path):
+    """with_positions=True maintains the packed positional index beside
+    the TF segments: after draining the stream, positions_packed()
+    unpacks to exactly the batch-built positional rows, serves phrase /
+    span / proximity, and survives a tombstone compaction."""
+    from pyspark.sql import functions as F
+
+    from mini_distributed_search_engine_spark.functions.analyzer import (
+        term_positions_pandas)
+    from mini_distributed_search_engine_spark.index.build import (
+        with_stable_doc_ids)
+    from mini_distributed_search_engine_spark.index.positions import (
+        unpack_positions)
+    from mini_distributed_search_engine_spark.query.phrase import (
+        phrase_match_packed)
+    from mini_distributed_search_engine_spark.query.proximity import (
+        wand_topk_proximity, bm25_topk_proximity)
+    from mini_distributed_search_engine_spark.query.span import (
+        span_near_match)
+
+    pdf = synthesize_transcripts_pdf(45, seed=888)
+    src = tmp_path / "in"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 60), (60, 120), (120, 180)]):
+        spark.createDataFrame(pdf.iloc[lo:hi]).coalesce(1).write.parquet(
+            str(src / f"part{i}.parquet"))
+    idx_root = tmp_path / "idx"
+    indexer = StreamingIndexer(spark, str(idx_root), shard_span=SPAN,
+                               with_positions=True)
+    q = indexer.start(read_transcript_stream(spark, str(src)))
+    q.awaitTermination(120)
+
+    docs = with_stable_doc_ids(spark.createDataFrame(pdf))
+    pos_rows = term_positions_pandas(docs, "text", stem=True).cache()
+    want = sorted((r["doc_id"], r["term"], r["pos"])
+                  for r in pos_rows.collect())
+    got = sorted((r["doc_id"], r["term"], r["pos"])
+                 for r in unpack_positions(
+                     indexer.positions_packed()).collect())
+    assert got == want
+
+    # proximity over the streamed pair == declarative over batch rows
+    idx = build_index(spark.createDataFrame(pdf))
+    keyed = lambda df: sorted((r["query_id"], r["rank"], r["doc_id"])
+                              for r in df.collect())
+    assert keyed(wand_topk_proximity(
+        spark, indexer.packed(), indexer.positions_packed(),
+        indexer.doc_stats_df(), queries=QUERIES)) == keyed(
+            bm25_topk_proximity(spark, idx.term_doc_tf, idx.term_stats,
+                                idx.doc_stats, pos_rows, queries=QUERIES))
+    n_phrase = len(phrase_match_packed(
+        spark, indexer.positions_packed(),
+        (Query("p", "apple banana", k=50),)).collect())
+
+    # tombstone compaction purges both sides coherently
+    tomb = [5, 70, 71, 130]
+    rep = indexer.compact(tombstones=tomb)
+    assert rep["compacted"] and rep["purged_docs"] > 0
+    got2 = sorted((r["doc_id"], r["term"], r["pos"])
+                  for r in unpack_positions(
+                      indexer.positions_packed()).collect())
+    want2 = sorted((r["doc_id"], r["term"], r["pos"]) for r in
+                   pos_rows.where(~F.col("doc_id").isin(tomb)).collect())
+    assert got2 == want2
+    assert len(indexer._manifest(indexer._meta())) == 1
+    # span still serves post-compaction
+    res = span_near_match(spark, indexer.positions_packed(),
+                          (Query("n", "apple banana", k=50),),
+                          window=10_000).collect()
+    assert all(r["doc_id"] not in set(tomb) for r in res)
+    assert n_phrase >= 0  # phrase path exercised pre-compaction
+    pos_rows.unpersist()
+
+
+def test_stream_positions_flag_mismatch_raises(spark, tmp_path):
+    """Enabling with_positions on a root whose manifest lacks positions
+    must fail loudly, not silently serve a partial positional index."""
+    pdf = synthesize_transcripts_pdf(10, seed=4)
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(
+        str(src / "part0.parquet"))
+    idx_root = tmp_path / "idx"
+    indexer = StreamingIndexer(spark, str(idx_root), shard_span=SPAN)
+    q = indexer.start(read_transcript_stream(spark, str(src)))
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="pos_path"):
+        indexer.positions_packed()
+    spark.createDataFrame(pdf.assign(conv_id=pdf["conv_id"] + "zz")) \
+        .coalesce(1).write.parquet(str(src / "part1.parquet"))
+    indexer2 = StreamingIndexer(spark, str(idx_root), shard_span=SPAN,
+                                with_positions=True)
+    q2 = indexer2.start(read_transcript_stream(spark, str(src)))
+    # the guard surfaces as a failed batch -> streaming query exception
+    with pytest.raises(Exception, match="without positions"):
+        q2.awaitTermination()
