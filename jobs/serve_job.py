@@ -42,6 +42,8 @@ def _fmt_row(r) -> str:
         cols.append(f"score={r['score']}")
     if "n_occ" in r.asDict():
         cols.append(f"n_occ={r['n_occ']}")
+    if "min_span" in r.asDict():
+        cols.append(f"min_span={r['min_span']}")
     if "snippet" in r.asDict():
         cols.append(f"{r['conv_id']}#{r['turn_idx']} {r['snippet']!r}")
     return "\t".join(cols)
@@ -87,6 +89,14 @@ def serve(engine: SearchEngine, inp=sys.stdin, out=sys.stdout) -> list[float]:
                 rows = engine.search(body[1], k=int(body[0]), role=rest[0])
             elif head == "phrase" and len(rest) == 2:
                 rows = engine.search_phrase(rest[1], k=int(rest[0]))
+            elif head == "proximity" and len(rest) == 2:
+                rows = engine.search_proximity(rest[1], k=int(rest[0]))
+            elif (head == "near" and len(rest) == 2
+                  and len(body := rest[1].split(" ", 1)) == 2
+                  and body[0].isdigit()):
+                # near <k> <window> <text>
+                rows = engine.search_near(body[1], k=int(rest[0]),
+                                          window=int(body[0]))
             elif head == "suggest" and len(rest) == 2:
                 for t in engine.suggest(rest[1], n=int(rest[0])):
                     reply(t)

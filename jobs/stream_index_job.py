@@ -41,13 +41,18 @@ def main() -> None:
                          "post-drain compaction (the delete half of the "
                          "LSM lifecycle; forces a compact even under "
                          "--compact-after's threshold)")
+    ap.add_argument("--with-positions", action="store_true",
+                    help="maintain the packed positional index beside the "
+                         "TF segments (phrase/proximity/span serving off "
+                         "the stream state); fresh roots only")
     args = ap.parse_args()
     if args.follow and args.tombstones:
         ap.error("--tombstones needs the drain-and-exit mode (compaction "
                  "runs post-drain; a --follow stream never reaches it)")
 
     spark = get_spark("mdse-stream-index")
-    indexer = StreamingIndexer(spark, args.out, shard_span=args.shard_span)
+    indexer = StreamingIndexer(spark, args.out, shard_span=args.shard_span,
+                               with_positions=args.with_positions)
     stream = read_transcript_stream(spark, args.input)
     if args.follow:
         q = (stream.writeStream

@@ -113,13 +113,15 @@ def test_serve_job_loop(spark, index_root):
                       "suggest 3 s\n"
                       "stats\n"
                       "phrase 5 apple banana\n"
+                      "proximity 5 apple banana\n"
+                      "near 5 10 apple banana\n"
                       "or notanint bad request\n"
                       "quit\n"
                       "or 5 never reached\n")
     out = io.StringIO()
     lats = serve(eng, inp=inp, out=out)
     text = out.getvalue()
-    assert len(lats) == 6  # or, and, role, plain-role-text, suggest, phrase
+    assert len(lats) == 8  # or/and/role/plain-role/suggest/phrase/prox/near
     assert "rank=1" in text and "n_docs=" in text
     assert "err\tValueError" in text
     assert "never reached" not in text
