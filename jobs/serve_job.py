@@ -13,6 +13,8 @@ Protocol (one request per line, TSV-ish, results to stdout):
   or|and <k> <text>              ranked BM25 (union / conjunctive)
   role <role> <k> <text>         BM25 restricted to docs of a role
   phrase <k> <text>              exact phrase match (positions stage)
+  proximity <k> <text>           BM25 + pairwise-closeness bonus
+  near <k> <window> <text>       all terms within a token window
   suggest <n> <prefix>           autocomplete by descending df
   stats                          corpus stats + latency p50 so far
   quit                           exit
@@ -92,9 +94,18 @@ def serve(engine: SearchEngine, inp=sys.stdin, out=sys.stdout) -> list[float]:
             elif head == "proximity" and len(rest) == 2:
                 rows = engine.search_proximity(rest[1], k=int(rest[0]))
             elif (head == "near" and len(rest) == 2
-                  and len(body := rest[1].split(" ", 1)) == 2
-                  and body[0].isdigit()):
-                # near <k> <window> <text>
+                  and rest[0].lstrip("+-").isdigit()):
+                # near <k> <window> <text> — a numeric k marks clear near
+                # intent, so a missing/invalid window is an ERROR, not a
+                # silent fall-through to full-text search of the raw line
+                # (same disambiguation discipline as the role branch);
+                # plain text starting with the word 'near' still falls
+                # through to default search below.
+                body = rest[1].split(" ", 1)
+                if len(body) != 2 or not body[0].isdigit():
+                    reply("err\tusage: near <k> <window> <text> "
+                          "(window must be a non-negative integer)")
+                    continue
                 rows = engine.search_near(body[1], k=int(rest[0]),
                                           window=int(body[0]))
             elif head == "suggest" and len(rest) == 2:

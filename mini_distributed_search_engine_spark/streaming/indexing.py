@@ -123,16 +123,19 @@ class StreamingIndexer:
                    if int(meta.get("generation", 0)) > 0 else [])
         return man
 
-    def _segments(self, man: list[dict]) -> DataFrame:
+    def _segments(self, man: list[dict], path_key: str = "path",
+                  cols: list[str] = _COLS) -> DataFrame:
         """Union of each manifest entry's authoritative shard range (raw
-        segment columns, stored global_df — no totals join)."""
+        segment columns, stored global_df — no totals join). One
+        narrowing rule for BOTH segment families: ``path_key``/``cols``
+        select the TF ("path") or positional ("pos_path") side."""
         parts = []
         for entry, nxt in zip(man, man[1:] + [None]):
-            df = self.spark.read.parquet(str(self.root / entry["path"]))
+            df = self.spark.read.parquet(str(self.root / entry[path_key]))
             df = df.where(F.col("shard_id") >= int(entry["start_shard"]))
             if nxt is not None:
                 df = df.where(F.col("shard_id") < int(nxt["start_shard"]))
-            parts.append(df.select(*_COLS))
+            parts.append(df.select(*cols))
         return reduce(DataFrame.unionByName, parts)
 
     def packed(self) -> DataFrame:
@@ -164,15 +167,8 @@ class StreamingIndexer:
             raise ValueError(
                 f"index root {self.root} was not built with "
                 "with_positions=True (manifest entries lack pos_path)")
-        cols = [f.name for f in POS_SCHEMA.fields]
-        parts = []
-        for entry, nxt in zip(man, man[1:] + [None]):
-            df = self.spark.read.parquet(str(self.root / entry["pos_path"]))
-            df = df.where(F.col("shard_id") >= int(entry["start_shard"]))
-            if nxt is not None:
-                df = df.where(F.col("shard_id") < int(nxt["start_shard"]))
-            parts.append(df.select(*cols))
-        return reduce(DataFrame.unionByName, parts)
+        return self._segments(man, path_key="pos_path",
+                              cols=[f.name for f in POS_SCHEMA.fields])
 
     def corpus_stats(self) -> tuple[int, float]:
         m = self._meta()
@@ -229,15 +225,44 @@ class StreamingIndexer:
                   .withColumn("doc_id",
                               (F.monotonically_increasing_id() + F.lit(base))
                               .cast("long")))
-        terms = term_tokens_df(w_rows, "text", keep_cols=("doc_id",))
-        tf = (terms.groupBy("term", "doc_id")
-              .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+        man = list(self._manifest(meta))
+        # positions are a ROOT property, not a per-writer flag: a root
+        # built with positions keeps maintaining them even if a later
+        # writer omits with_positions=True — otherwise that writer's
+        # manifest narrowing would GC the pos_gN directories and the
+        # positional index would be silently, unrecoverably lost.
+        with_pos = self.with_positions or (
+            bool(man) and all("pos_path" in e for e in man))
+        if self.with_positions and man and any(
+                "pos_path" not in e for e in man):
+            raise RuntimeError(
+                f"index root {self.root} has manifest entries without "
+                "positions; with_positions=True can only continue a root "
+                "that was built with positions from its first batch")
+        pos_rows = None
+        if with_pos:
+            # ONE analyzer pass feeds both sides: tf(term, doc) is the
+            # per-doc position count by construction (positions cover
+            # every surviving token occurrence), so the TF table derives
+            # from the positional rows instead of a second tokenize+stem
+            # pass over the batch text.
+            from ..functions.analyzer import term_positions_pandas
+            pos_rows = term_positions_pandas(w_rows, "text",
+                                             stem=True).persist()
+            tf = (pos_rows.groupBy("term", "doc_id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+        else:
+            terms = term_tokens_df(w_rows, "text", keep_cols=("doc_id",))
+            tf = (terms.groupBy("term", "doc_id")
+                  .agg(F.count(F.lit(1)).cast("long").alias("tf")))
         dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
         tf_dl = tf.join(dl, "doc_id").persist()
 
         n_new = w_rows.count()
         if n_new == 0:
             tf_dl.unpersist()   # don't leak one cached frame per empty batch
+            if pos_rows is not None:
+                pos_rows.unpersist()
             return
         sum_dl_new = dl.agg(F.sum("dl")).collect()[0][0] or 0
         new_n = int(meta["n_docs"]) + n_new  # live count (stats input)
@@ -245,13 +270,6 @@ class StreamingIndexer:
         avgdl = new_sum / new_n
 
         gen = int(meta["generation"])
-        man = list(self._manifest(meta))
-        if self.with_positions and man and any(
-                "pos_path" not in e for e in man):
-            raise RuntimeError(
-                f"index root {self.root} has manifest entries without "
-                "positions; with_positions=True can only continue a root "
-                "that was built with positions from its first batch")
         new_seg = build_packed_postings(tf_dl, avgdl,
                                         shard_span=self.shard_span)
         seg_dir = f"segs_g{gen + 1}"
@@ -276,17 +294,15 @@ class StreamingIndexer:
         out.write.mode("overwrite").parquet(str(self.root / seg_dir))
 
         pos_dir = None
-        if self.with_positions:
+        if with_pos:
             # positional twin: same shard math, same boundary splice —
             # one pos_gN directory per batch, O(batch + boundary) bytes
-            from ..functions.analyzer import term_positions_pandas
             from ..index.positions import (POS_SCHEMA,
                                            build_packed_positions,
                                            merge_packed_positions)
             pcols = [f.name for f in POS_SCHEMA.fields]
-            new_pos = build_packed_positions(
-                term_positions_pandas(w_rows, "text", stem=True),
-                shard_span=self.shard_span)
+            new_pos = build_packed_positions(pos_rows,
+                                             shard_span=self.shard_span)
             pos_dir = f"pos_g{gen + 1}"
             if not man:
                 out_pos = new_pos
@@ -340,6 +356,8 @@ class StreamingIndexer:
         merged.write.mode("overwrite").parquet(
             str(self.root / f"totals_g{gen + 1}"))
         tf_dl.unpersist()
+        if pos_rows is not None:
+            pos_rows.unpersist()
 
         # narrow older entries: shards >= start now live in the new entry;
         # trailing entries whose range became empty are dropped + deleted

@@ -115,13 +115,16 @@ def test_serve_job_loop(spark, index_root):
                       "phrase 5 apple banana\n"
                       "proximity 5 apple banana\n"
                       "near 5 10 apple banana\n"
+                      "near 5 apple banana\n"
+                      "near the end of the story\n"
                       "or notanint bad request\n"
                       "quit\n"
                       "or 5 never reached\n")
     out = io.StringIO()
     lats = serve(eng, inp=inp, out=out)
     text = out.getvalue()
-    assert len(lats) == 8  # or/and/role/plain-role/suggest/phrase/prox/near
+    assert len(lats) == 9  # ...plus the plain-text 'near the end' search
+    assert "err\tusage: near" in text  # missing window != silent search
     assert "rank=1" in text and "n_docs=" in text
     assert "err\tValueError" in text
     assert "never reached" not in text

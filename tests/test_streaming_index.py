@@ -246,3 +246,34 @@ def test_stream_positions_flag_mismatch_raises(spark, tmp_path):
     # the guard surfaces as a failed batch -> streaming query exception
     with pytest.raises(Exception, match="without positions"):
         q2.awaitTermination()
+
+
+def test_stream_positions_survive_flagless_reopen(spark, tmp_path):
+    """Positions are a ROOT property: a later writer that forgets
+    with_positions=True must keep maintaining (not GC) the positional
+    side — the silent-data-loss case from the round-5 review."""
+    from mini_distributed_search_engine_spark.index.positions import (
+        unpack_positions)
+    pdf = synthesize_transcripts_pdf(20, seed=77)
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(pdf.iloc[:40]).coalesce(1).write.parquet(
+        str(src / "part0.parquet"))
+    idx_root = tmp_path / "idx"
+    first = StreamingIndexer(spark, str(idx_root), shard_span=SPAN,
+                             with_positions=True)
+    q = first.start(read_transcript_stream(spark, str(src)))
+    q.awaitTermination(120)
+    # second writer, flag FORGOTTEN (default False), appends more data
+    spark.createDataFrame(pdf.iloc[40:].assign(
+        conv_id=pdf.iloc[40:]["conv_id"] + "zz")).coalesce(1) \
+        .write.parquet(str(src / "part1.parquet"))
+    second = StreamingIndexer(spark, str(idx_root), shard_span=SPAN)
+    q2 = second.start(read_transcript_stream(spark, str(src)))
+    q2.awaitTermination(120)
+    man = second._manifest(second._meta())
+    assert all("pos_path" in e for e in man)   # adopted, not dropped
+    # the positional index covers BOTH writers' docs
+    n_docs_with_pos = (unpack_positions(second.positions_packed())
+                       .select("doc_id").distinct().count())
+    assert n_docs_with_pos == second._meta()["n_docs"]
