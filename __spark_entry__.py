@@ -396,6 +396,39 @@ def _packed_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpack_to_rows(purge_docs(packed, _tomb_ids(idx)))
 
 
+def _index_purge_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE delete lifecycle, end-to-end against an independent
+    oracle: staged build (positions on) in a scratch root, every doc with
+    doc_id % 13 == 0 recorded as a tombstone beside the index (O(1)
+    metadata, `record_tombstones`), `StagedIndexBuild.purge()` folds the
+    set into every stage (row layouts anti-joined, packed segments
+    range-gated re-encode, stats RECOMPUTED over survivors), and a fresh
+    SearchEngine on the purged root answers BM25 top-k. Unlike
+    `bm25_topk_tombstoned_wand` (query-time mask, global stats by
+    design), the purged corpus has post-purge n_docs/avgdl/df — the
+    oracle filters the corpus itself (`purge_where`)."""
+    import shutil
+    import tempfile
+    from mini_distributed_search_engine_spark.plans.pipeline import (
+        StagedIndexBuild)
+    from mini_distributed_search_engine_spark.query.engine import SearchEngine
+    root = tempfile.mkdtemp(prefix="mdse_purge_gate_")
+    try:
+        b = StagedIndexBuild(spark, root, run_id="purge_gate")
+        b.run(transcripts_from_documents(spark, sf_dir), stem=True,
+              shard_span=256, merge_factor=4, positions=True)
+        tomb = [r["doc_id"] for r in b.read("docs", "data")
+                .where(F.col("doc_id") % 13 == 0).select("doc_id").collect()]
+        b.record_tombstones(tomb)
+        b.purge()
+        eng = SearchEngine(spark, root)
+        out = eng.search_batch(DEFAULT_QUERY_SET)
+        # localize so the scratch root can be removed
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _drain_sf_stream(spark: SparkSession, sf_dir: str, root: str,
                      with_positions: bool = False):
     """Shared streaming-gate harness: split the sf transcripts on
@@ -742,8 +775,13 @@ _R5_WINDOW = (
     # 1: the single r2-latest entry anywhere (VERDICT r4 #2: "kmeans
     # first") — after r5 no entry's newest driver row predates r4
     "embed_kmeans_centroids",
-    # 2-40: the r3-latest cohort (every remaining entry outside the r4
-    # window), in registry source order — the whole stale set re-enters
+    # 2-39: the r3-latest cohort (every remaining entry outside the r4
+    # window), in registry source order — the whole stale set re-enters,
+    # EXCEPT `transcripts`, which cedes its slot to the never-driver-
+    # verified purge-lifecycle entry: the transcripts source path is
+    # exercised by every other in-window entry (each goes through
+    # transcripts_from_documents), so its r3-green view projection is
+    # the lowest-regression-risk re-check anywhere in the cohort
     "analytics_sessionize", "events_asof_join", "events_range_join",
     "events_value_quantiles", "events_value_quantiles_approx",
     "events_windowed_counts", "events_json_agg", "doc_keywords",
@@ -753,22 +791,22 @@ _R5_WINDOW = (
     "analytics_pricing_summary", "analytics_top_unshipped",
     "analytics_forecast_revenue", "analytics_windows", "analytics_rollup",
     "text_lang_id", "text_quality", "doc_fingerprint", "multimodal_meta",
-    "transcripts", "docs_stable_ids", "term_stats", "doc_stats",
+    "docs_stable_ids", "term_stats", "doc_stats",
     "bm25_topk_collapsed", "term_positions", "index_lineage",
     "packed_incremental_roundtrip", "dedup_exact", "dedup_lsh_candidates",
     "dedup_components", "dedup_components_star", "embed_ivf_ann_topk",
     "embed_ivf_partitioned_topk",
-    # 41-45: NEW this round (packed positional index family; the span
-    # and streaming-positions entries took bm25_topk_and_wand's and
-    # bm25_topk_and's changed-impl slots — those entries' changed code
-    # paths (the rank_candidates tail and the corpus_stats parameter
-    # pattern) are identically exercised by in-window bm25_topk_wand /
-    # bm25_topk, and their kernel branches by the conjunctive pytest
-    # suite; a never-driver-verified NEW entry outranks a fourth
-    # re-check of a two-line-changed green one)
+    # 40-45: NEW this round (packed positional index family + the full
+    # delete lifecycle; the span and streaming-positions entries took
+    # bm25_topk_and_wand's and bm25_topk_and's changed-impl slots —
+    # those entries' changed code paths (the rank_candidates tail and
+    # the corpus_stats parameter pattern) are identically exercised by
+    # in-window bm25_topk_wand / bm25_topk, and their kernel branches by
+    # the conjunctive pytest suite; a never-driver-verified NEW entry
+    # outranks a fourth re-check of a two-line-changed green one)
     "positions_packed_roundtrip", "phrase_match_packed",
     "bm25_topk_proximity_wand", "span_near_match",
-    "streaming_positions_roundtrip",
+    "streaming_positions_roundtrip", "index_purge_roundtrip",
     # 46-50: implementation changed this round — a regression must not
     # pass the gate (corpus_stats threading through the exhaustive
     # scorers: bm25_topk/filtered/proximity; the rank_candidates/
@@ -872,6 +910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_incremental_roundtrip": _packed_incremental,
         # NEW round 4: tombstone deletes folded in at compaction time
         "packed_purge_roundtrip": _packed_purge,
+        # NEW round 5: the whole batch delete lifecycle (record → purge
+        # every stage → fresh engine), stats recomputed over survivors
+        "index_purge_roundtrip": _index_purge_roundtrip,
         # NEW round 4: streaming-built index vs the independent oracle
         "streaming_index_roundtrip": _streaming_index_roundtrip,
         # NEW round 5: stream-maintained positional index, same oracle
@@ -1035,6 +1076,10 @@ def oracle_sql() -> dict[str, str]:
         # OTHER docs, and the packed dls are per-posting copies)
         "packed_purge_roundtrip": (O.sql_term_doc_tf_dl(stem=True)
                                    + "\nWHERE tf.doc_id % 13 <> 0"),
+        # the physically-purged corpus: tf/df/n_docs/avgdl all over the
+        # survivors (unlike the tombstoned entry's global-stats mask)
+        "index_purge_roundtrip": O.sql_bm25_topk(
+            stem=True, purge_where="doc_id % 13 <> 0"),
         "index_lineage": O.sql_index_lineage(shard_span=128, stem=True),
         "packed_incremental_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "streaming_index_roundtrip": O.sql_term_doc_tf_dl(stem=True),

@@ -19,8 +19,12 @@ Routes (JSON replies):
   GET /stats                                           corpus stats + p50
   POST /delete?ids=1,2,3                               tombstone doc ids
        (engine-local metadata: the ids vanish from every subsequent
-       search; fold them into the at-rest index with packed.purge_docs
-       at compaction)
+       search; durable after a /checkpoint, folded into the at-rest
+       index by jobs/compact_index_job.py)
+  POST /checkpoint                                     persist tombstones
+       (writes the live set beside the index root — O(deletes) metadata —
+       so deletes survive an engine restart and the next compaction
+       `StagedIndexBuild.purge()` folds them into every stage)
 
 Usage:
   spark-submit --py-files mdse.zip jobs/http_serve_job.py \
@@ -206,6 +210,9 @@ def make_handler(engine: SearchEngine, lats):   # lats: bounded deque
                     total = engine.delete_docs(ids)
                     return self._json(200, {"deleted": len(ids),
                                             "tombstones": total})
+                if u.path == "/checkpoint":
+                    return self._json(
+                        200, {"checkpointed": engine.checkpoint_tombstones()})
                 return self._json(404, {"err": f"no route {u.path}"})
             except Exception as e:        # keep serving on engine errors
                 return self._json(500, {"err": f"{type(e).__name__}: {e}"})

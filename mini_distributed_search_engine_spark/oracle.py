@@ -253,19 +253,26 @@ def qterms_values(queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
 
 def sql_bm25_topk(stem: bool = True,
                   queries: tuple[Query, ...] = DEFAULT_QUERY_SET,
-                  doc_filter_sql: str | None = None) -> str:
+                  doc_filter_sql: str | None = None,
+                  purge_where: str | None = None) -> str:
     # doc_filter_sql (e.g. "fd.role = 'user'") mirrors bm25_topk's
     # allowed_docs semi-join: results restricted to the filtered docs,
-    # corpus stats (idf/avgdl) stay global
+    # corpus stats (idf/avgdl) stay global.
+    # purge_where (e.g. "doc_id % 13 <> 0") instead removes the docs from
+    # the CORPUS itself — tf, df, n_docs and avgdl are all computed over
+    # the survivors, mirroring a physical `StagedIndexBuild.purge()`
+    # (survivors' own dl is unchanged: a doc's length never depends on
+    # other docs).
     fd_join = (f"JOIN docs fd ON fd.doc_id = tf.doc_id AND ({doc_filter_sql})"
                if doc_filter_sql else "")
+    pw_sel = f" WHERE {purge_where}" if purge_where else ""
     return analyzed_terms_ctes(stem) + f"""
-, tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel GROUP BY 1, 2),
+, tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM sel{pw_sel} GROUP BY 1, 2),
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
 stats AS (
-  SELECT (SELECT count(*) FROM docs) AS n_docs,
+  SELECT (SELECT count(*) FROM docs{pw_sel}) AS n_docs,
          (SELECT avg(coalesce(dl.dl, 0))
-          FROM docs d LEFT JOIN dl USING (doc_id)) AS avgdl),
+          FROM docs d LEFT JOIN dl USING (doc_id){pw_sel}) AS avgdl),
 tstats AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 qterms(query_id, term, k) AS (VALUES {qterms_values(queries, stem)}),
 contrib AS (

@@ -28,6 +28,7 @@ Lineage rows append to ``<root>/_lineage`` parquet per stage run.
 from __future__ import annotations
 
 import json
+import shutil
 import time
 import uuid
 from pathlib import Path
@@ -262,3 +263,139 @@ class StagedIndexBuild:
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(str(self.root / "_lineage"))
+
+    # -- delete lifecycle ----------------------------------------------------
+    # The LSM write discipline for batch roots, mirroring the streaming
+    # compactor (streaming/indexing.py): a delete is O(1) metadata
+    # (`record_tombstones` appends one tiny parquet beside the index, no
+    # index byte is touched), and `purge()` folds the accumulated set into
+    # EVERY committed stage at compaction time. The reference has no
+    # delete path at all (its Indexer is build-once, `jobs/Indexer.java`);
+    # this is deployment surface the Spark engine adds.
+
+    def record_tombstones(self, doc_ids) -> int:
+        """Append the given doc_ids to the root's pending-tombstone set
+        (one small parquet file per call — O(deletes) metadata, zero index
+        rewrite). SearchEngine masks them at query time from its own live
+        set; this is the durable twin the next `purge()` folds in.
+        Returns the total pending tombstone count."""
+        from ..index.packed import _as_sorted_ids
+        ids = _as_sorted_ids(doc_ids)
+        if not ids.size:
+            return len(self.pending_tombstones())
+        tdir = self.root / "_tombstones"
+        tdir.mkdir(exist_ok=True)
+        (self.spark.createDataFrame([(int(i),) for i in ids],
+                                    "doc_id bigint")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(tdir / f"t_{uuid.uuid4().hex[:12]}.parquet")))
+        return len(self.pending_tombstones())
+
+    def _tombstone_files(self) -> list[Path]:
+        tdir = self.root / "_tombstones"
+        return sorted(tdir.glob("t_*.parquet")) if tdir.is_dir() else []
+
+    def pending_tombstones(self) -> list[int]:
+        """Union of all recorded-but-not-yet-purged tombstone ids."""
+        files = self._tombstone_files()
+        if not files:
+            return []
+        rows = (self.spark.read.parquet(*[str(f) for f in files])
+                .select("doc_id").distinct().collect())
+        return sorted(int(r["doc_id"]) for r in rows)
+
+    def _swap_in(self, stage: str, sub: str, df: DataFrame) -> None:
+        """Rewrite ``<stage>/<sub>`` via tmp-dir + rename: Spark reads
+        lazily, so writing over the directory a plan is scanning would
+        corrupt it mid-read. The write is an action — by the time the
+        swap happens the new data is fully on disk."""
+        final = self._dir(stage) / sub
+        tmp = self._dir(stage) / f"{sub}.purge_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(str(tmp))
+        shutil.rmtree(final, ignore_errors=True)
+        tmp.rename(final)
+        # drop any cached plan built over the OLD files at this path (a
+        # live SearchEngine in this session caches merged/positions by
+        # plan identity — without this, its AND every later read of the
+        # path would silently serve pre-purge data from the cache)
+        self.spark.catalog.refreshByPath(str(final))
+
+    def _heal_swaps(self) -> None:
+        """Finish (or discard) swaps torn by a crash: a leftover
+        ``*.purge_tmp`` whose final directory is missing is the rename
+        half of an interrupted swap — complete it; one whose final exists
+        crashed before the rmtree and is stale — drop it. Either way a
+        `purge()` re-run then re-applies cleanly (the pending tombstone
+        files are only cleared after every stage swapped)."""
+        for tmp in self.root.glob("*/*.purge_tmp"):
+            final = tmp.with_name(tmp.name[:-len(".purge_tmp")])
+            if final.exists():
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                tmp.rename(final)
+
+    def purge(self, doc_ids=None) -> dict:
+        """Physically fold tombstones into every committed stage: row
+        stages (docs / term_doc_tf / positions) drop the docs via a
+        broadcast anti-join, packed stages (packed / merged /
+        positions_packed) re-encode ONLY range-intersecting segments
+        (`packed.purge_docs` / `positions.purge_positions` — untouched
+        segments pass through byte-identical), and stats (term df,
+        n_docs, avgdl) are RECOMPUTED over the survivors — unlike
+        query-time masking, which keeps global stats by design. A fresh
+        SearchEngine on the purged root is then correct on every path,
+        including the positional doc-store fallback.
+
+        ``doc_ids=None`` folds in the pending `record_tombstones` set and
+        clears it on success; passing ids explicitly leaves the pending
+        set alone. Idempotent (purging already-absent docs is a no-op)
+        and crash-safe: tombstone files are removed only after all stages
+        are rewritten, so a re-run heals a torn root (see _heal_swaps)."""
+        from ..index.packed import _as_sorted_ids, purge_docs
+        self._heal_swaps()
+        pending_files: list[Path] = []
+        if doc_ids is None:
+            pending_files = self._tombstone_files()
+            tomb = _as_sorted_ids(self.pending_tombstones())
+        else:
+            tomb = _as_sorted_ids(doc_ids)
+        if not tomb.size:
+            return {"purged_docs": 0}
+        t0 = time.perf_counter()
+        ids = F.broadcast(self.spark.createDataFrame(
+            [(int(i),) for i in tomb], "doc_id bigint"))
+        for stage, sub in (("docs", "data"), ("term_doc_tf", "data"),
+                           ("term_doc_tf", "dl"), ("positions", "data")):
+            if self.is_committed(stage) and (self._dir(stage) / sub).is_dir():
+                self._swap_in(stage, sub,
+                              self.read(stage, sub)
+                              .join(ids, "doc_id", "left_anti"))
+        for stage in ("packed", "merged"):
+            if self.is_committed(stage):
+                self._swap_in(stage, "data",
+                              purge_docs(self.read(stage, "data"), tomb))
+        if self.is_committed("positions_packed"):
+            from ..index.positions import purge_positions
+            self._swap_in("positions_packed", "data",
+                          purge_positions(
+                              self.read("positions_packed", "data"), tomb))
+        if self.is_committed("stats"):
+            # mirror the build's stats stage over the (now purged) inputs
+            tf = self.read("term_doc_tf", "data")
+            self._swap_in("stats", "term_stats",
+                          tf.groupBy("term")
+                          .agg(F.count("*").cast("long").alias("df")))
+            docs = self.read("docs", "data")
+            dl = self.read("term_doc_tf", "dl")
+            self._swap_in("stats", "doc_stats",
+                          docs.join(dl, "doc_id", "left").na.fill({"dl": 0})
+                          .agg(F.count("*").cast("long").alias("n_docs"),
+                               F.avg("dl").alias("avgdl")))
+        wall = int((time.perf_counter() - t0) * 1000)
+        self._append_lineage("purge", self.spark.createDataFrame(
+            [(self.run_id, "purge", -1, "", "", int(tomb.size), 0,
+              wall, time.time())], LINEAGE_SCHEMA))
+        for f in pending_files:
+            shutil.rmtree(f, ignore_errors=True)
+        return {"purged_docs": int(tomb.size), "wall_ms": wall}

@@ -153,6 +153,19 @@ class SearchEngine:
             self._tombstones = self._tombstones | {int(d) for d in doc_ids}
             return len(self._tombstones)
 
+    def checkpoint_tombstones(self) -> int:
+        """Persist the live query-time tombstone set beside the index
+        root (`StagedIndexBuild.record_tombstones` — O(deletes) metadata,
+        no index byte touched), so deletes survive an engine restart and
+        the next compaction (`StagedIndexBuild.purge()`) folds them into
+        every at-rest stage. Returns the count written this call."""
+        tomb = self._tomb()
+        if not tomb:
+            return 0
+        from ..plans.pipeline import StagedIndexBuild
+        StagedIndexBuild(self.spark, self._index_root).record_tombstones(tomb)
+        return len(tomb)
+
     def _tomb(self) -> list[int] | None:
         """Sorted tombstone snapshot for the query paths (None when
         empty). Reads the rebound set once — safe against a concurrent

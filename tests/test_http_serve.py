@@ -120,6 +120,12 @@ def test_delete_route(http_base):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=120)
     assert e.value.code == 400
+    # /checkpoint persists the live set beside the index root (the
+    # durable half: jobs/compact_index_job.py folds it in later)
+    req = urllib.request.Request(f"{http_base}/checkpoint", method="POST")
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        d = json.loads(resp.read())
+    assert resp.status == 200 and d["checkpointed"] == 2
 
 
 def test_proximity_route(http_base):
