@@ -367,6 +367,20 @@ def _packed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpack_to_rows(merge_packed(packed, level_factor=4))
 
 
+def _packed_pfd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PForDelta half of the north rule's "varint/PForDelta" pair
+    (index/codec_pfd.py): encode the postings into NewPFD-style bit-packed
+    blocks with patched exceptions, decode back — must equal the raw
+    (term, doc_id, tf, dl) table exactly (same oracle as packed_roundtrip;
+    the two codecs must agree on the logical content). Size/speed
+    trade-off vs the varint serving format is measured in BENCH.md."""
+    from mini_distributed_search_engine_spark.index.codec_pfd import (
+        build_packed_postings_pfd, unpack_packed_pfd)
+    idx = _index(spark, sf_dir, stem=True)
+    return unpack_packed_pfd(
+        build_packed_postings_pfd(idx.term_doc_tf, shard_span=128))
+
+
 def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental append: pack the first half of the doc space, append the
     second half's postings (boundary-shard byte splice), decode back — must
@@ -790,7 +804,10 @@ _R5_WINDOW = (
     "docs_sample_stratified", "docs_sample_topk_stratum",
     "analytics_pricing_summary", "analytics_top_unshipped",
     "analytics_forecast_revenue", "analytics_windows", "analytics_rollup",
-    "text_lang_id", "text_quality", "doc_fingerprint", "multimodal_meta",
+    # (multimodal_meta ceded its re-check slot to the never-driver-verified
+    # packed_pfd_roundtrip late in round 5 — its module family keeps two
+    # in-window entries, multimodal_frame_sample and multimodal_embed)
+    "text_lang_id", "text_quality", "doc_fingerprint", "packed_pfd_roundtrip",
     "docs_stable_ids", "term_stats", "doc_stats",
     "bm25_topk_collapsed", "term_positions", "index_lineage",
     "packed_incremental_roundtrip", "dedup_exact", "dedup_lsh_candidates",
@@ -906,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_proximity_wand": _bm25_proximity_wand,
         "span_near_match": _span_near,
         "packed_roundtrip": _packed_roundtrip,
+        # NEW round 5: the PForDelta codec twin of the varint round-trip
+        "packed_pfd_roundtrip": _packed_pfd_roundtrip,
         "index_lineage": _index_lineage,
         "packed_incremental_roundtrip": _packed_incremental,
         # NEW round 4: tombstone deletes folded in at compaction time
@@ -1071,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_proximity_wand": O.sql_bm25_topk_proximity(stem=True),
         "span_near_match": O.sql_span_near_match(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
+        "packed_pfd_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         # same postings oracle minus the deterministic tombstone slice
         # (dl keeps its pre-delete value: a doc's length never depends on
         # OTHER docs, and the packed dls are per-posting copies)

@@ -1,0 +1,258 @@
+"""PForDelta (NewPFD-style) posting compression — the second codec of the
+"varint/PForDelta" pair the north rule names.
+
+Public-format background: PForDelta (Zukowski et al., ICDE 2006) bit-packs
+each 128-value block at a width ``b`` chosen per block, storing the few
+values that don't fit ("exceptions") out of line; the NewPFD refinement
+(Yan, Ding, Suel, WWW 2009) patches each exception's LOW ``b`` bits into
+the packed array and stores only its overflow high bits, so decode is one
+bit-unpack plus a sparse scatter-OR. That is the variant here.
+
+Stream layout (self-contained, one blob per value stream):
+
+    u32le  n_values
+    meta   2 bytes per 128-value block: [b, n_exceptions]
+    packed per-block ceil(count*b/8) bytes of b-bit little-significance
+           bit-packed low parts (each block byte-aligned independently,
+           so equal-shaped blocks concatenate for one vectorized unpack)
+    expos  1 byte per exception: its index WITHIN its block (0..127)
+    exhigh one LEB128 varint stream of every exception's high part
+           (value >> b), in block order (codec.varint_decode reads it
+           whole — the same vectorized decoder the varint format uses)
+
+``b`` is chosen per block by exact byte cost (packed bytes + 1 byte per
+exception position + the exceptions' actual varint high-part bytes),
+evaluated for every candidate width as one (candidates x blocks) numpy
+matrix — no per-block Python loop. Encode and decode group blocks by
+(b, count) and bit-pack/unpack each group in one np.packbits /
+np.unpackbits call, mirroring codec.py's "vectorize across the stream,
+never per value" discipline.
+
+Trade-off vs the serving codec (codec.py varint), measured in BENCH.md:
+PFD wins at rest on the low-entropy streams (tfs, dls, dense doc gaps)
+because 1-3 BIT values stop paying varint's 1-BYTE floor; varint stays
+the serving default because its streams byte-splice in O(1) at LSM merge
+boundaries (codec.splice_gap_streams) while a PFD run would re-encode its
+boundary block, and because WAND block skipping slices varint streams at
+any stored byte offset. Same reason Lucene ships both families (vints in
+.doc positions, FOR/PFD in block postings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from .codec import varint_decode, varint_encode, varint_lengths
+
+PFD_BLOCK = 128
+_MAX_B = 32  # packed-width cap; wider values ride the exception path
+
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    """bit_length per value (0 for 0), vectorized."""
+    bl = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bl[nz] += 1
+        tmp = tmp >> np.uint64(1)
+    return bl
+
+
+def _pack_bits(vals: np.ndarray, b: int) -> np.ndarray:
+    """Bit-pack rows of a (n_blocks, count) uint64 matrix at width b ->
+    (n_blocks, ceil(count*b/8)) uint8. Values must be < 2**b."""
+    nblk, cnt = vals.shape
+    # big-endian byte view -> per-value bit rows -> keep the low b bits
+    # (u32 container is enough: b <= _MAX_B == 32 and inputs are pre-masked)
+    as_bytes = vals.astype(">u4").view(np.uint8).reshape(nblk, cnt, 4)
+    bits = np.unpackbits(as_bytes, axis=2)[:, :, 32 - b:]
+    flat = bits.reshape(nblk, cnt * b)
+    pad = (-flat.shape[1]) % 8
+    if pad:
+        flat = np.concatenate(
+            [flat, np.zeros((nblk, pad), dtype=np.uint8)], axis=1)
+    return np.packbits(flat, axis=1)
+
+
+def _unpack_bits(buf: np.ndarray, nblk: int, cnt: int, b: int) -> np.ndarray:
+    """Inverse of _pack_bits: (n_blocks * blocklen) uint8 bytes ->
+    (n_blocks, count) uint64."""
+    blocklen = (cnt * b + 7) // 8
+    bits = np.unpackbits(buf.reshape(nblk, blocklen), axis=1)[:, :cnt * b]
+    full = np.zeros((nblk, cnt, 32), dtype=np.uint8)
+    full[:, :, 32 - b:] = bits.reshape(nblk, cnt, b)
+    return np.packbits(full, axis=2).view(">u4").reshape(nblk, cnt)\
+        .astype(np.uint64)
+
+
+def pfd_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array into one self-contained PFD stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    header = int(n).to_bytes(4, "little")
+    if n == 0:
+        return header
+    nblk = (n + PFD_BLOCK - 1) // PFD_BLOCK
+    padded = np.zeros(nblk * PFD_BLOCK, dtype=np.uint64)
+    padded[:n] = v
+    blocks = padded.reshape(nblk, PFD_BLOCK)
+    counts = np.full(nblk, PFD_BLOCK, dtype=np.int64)
+    counts[-1] = n - (nblk - 1) * PFD_BLOCK
+    in_range = np.arange(PFD_BLOCK) < counts[:, None]  # mask out pad slots
+
+    bl = _bit_lengths(blocks) * in_range
+    # candidate widths: {0} u the distinct bit lengths present (capped).
+    # EXACT, not a heuristic: between two present bit lengths the exception
+    # set is constant while packed bytes grow with b, so cost(b) is
+    # minimized at the interval's lower end — always 0 or a present bl.
+    cand = np.unique(np.concatenate(
+        [[0], np.minimum(np.unique(bl), _MAX_B)]))
+    # exact per-(candidate, block) byte cost: packed bytes + 1 position
+    # byte per exception + varint(high) bytes. Loop over the few candidate
+    # widths with 2D (block x 128) ops instead of one 3D matrix — same
+    # exact argmin, ~50x less allocation traffic (profiled).
+    n_ex = np.empty((cand.size, nblk), dtype=np.int64)
+    cost = np.empty((cand.size, nblk), dtype=np.int64)
+    for ci, b in enumerate(cand):
+        ex = bl > b
+        n_ex[ci] = ex.sum(axis=1)
+        high_bytes = np.where(ex, (bl - b + 6) // 7, 0).sum(axis=1)
+        cost[ci] = (counts * int(b) + 7) // 8 + n_ex[ci] + high_bytes
+    best_i = np.argmin(cost, axis=0)                          # per block
+    best_b = cand[best_i].astype(np.uint8)
+
+    meta = np.empty((nblk, 2), dtype=np.uint8)
+    meta[:, 0] = best_b
+    meta[:, 1] = n_ex[best_i, np.arange(nblk)].astype(np.uint8)
+
+    # packed section: group equal-(b, count) blocks, one pack call each
+    packed_parts: list[np.ndarray | None] = [None] * nblk
+    for b in np.unique(best_b):
+        for cnt in np.unique(counts[best_b == b]):
+            sel = np.nonzero((best_b == b) & (counts == cnt))[0]
+            if b == 0:
+                chunk = np.empty((sel.size, 0), dtype=np.uint8)
+            else:
+                low = blocks[sel, :cnt] & np.uint64((1 << int(b)) - 1)
+                chunk = _pack_bits(low, int(b))
+            for j, i in enumerate(sel):
+                packed_parts[i] = chunk[j]
+    # exceptions, block order then position order (C-order nonzero)
+    final_ex = bl > best_b[:, None]
+    blk_idx, pos_idx = np.nonzero(final_ex)
+    high = blocks[blk_idx, pos_idx] >> best_b[blk_idx].astype(np.uint64)
+    return b"".join([
+        header, meta.tobytes(),
+        b"".join(p.tobytes() for p in packed_parts),
+        pos_idx.astype(np.uint8).tobytes(),
+        varint_encode(high),
+    ])
+
+
+def pfd_decode(buf: bytes) -> np.ndarray:
+    """Decode a pfd_encode stream back to uint64."""
+    n = int.from_bytes(buf[:4], "little")
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    nblk = (n + PFD_BLOCK - 1) // PFD_BLOCK
+    meta = np.frombuffer(buf, dtype=np.uint8,
+                         count=2 * nblk, offset=4).reshape(nblk, 2)
+    bs = meta[:, 0].astype(np.int64)
+    n_ex = meta[:, 1].astype(np.int64)
+    counts = np.full(nblk, PFD_BLOCK, dtype=np.int64)
+    counts[-1] = n - (nblk - 1) * PFD_BLOCK
+    block_lens = (counts * bs + 7) // 8
+    block_off = 4 + 2 * nblk + np.concatenate([[0], np.cumsum(block_lens)])
+    packed_end = int(block_off[-1])
+    raw = np.frombuffer(buf, dtype=np.uint8)
+
+    out = np.zeros((nblk, PFD_BLOCK), dtype=np.uint64)
+    for b in np.unique(bs):
+        if b == 0:
+            continue
+        for cnt in np.unique(counts[bs == b]):
+            sel = np.nonzero((bs == b) & (counts == cnt))[0]
+            bl_len = (int(cnt) * int(b) + 7) // 8
+            chunk = np.concatenate(
+                [raw[block_off[i]:block_off[i] + bl_len] for i in sel])
+            out[sel, :cnt] = _unpack_bits(chunk, sel.size, int(cnt), int(b))
+
+    total_ex = int(n_ex.sum())
+    if total_ex:
+        pos = raw[packed_end:packed_end + total_ex].astype(np.int64)
+        high = varint_decode(buf[packed_end + total_ex:])
+        blk = np.repeat(np.arange(nblk), n_ex)
+        out[blk, pos] |= high << bs[blk].astype(np.uint64)
+    return out.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Spark surface: PFD-packed posting segments (round-trip / size-study twin of
+# packed.build_packed_postings; serving keeps the varint format — see the
+# module docstring for the splice/offset trade-off).
+
+PFD_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("shard_id", T.IntegerType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("first_doc", T.LongType(), False),
+    T.StructField("doc_gaps", T.BinaryType(), False),   # PFD streams
+    T.StructField("tfs", T.BinaryType(), False),
+    T.StructField("dls", T.BinaryType(), False),
+])
+
+
+def build_packed_postings_pfd(term_doc_tf: DataFrame,
+                              shard_span: int = 1 << 20) -> DataFrame:
+    """(term, doc_id, tf, dl) rows -> PFD-compressed per-(term, doc-shard)
+    segments: same delta-gap preprocessing, sharding and exchange shape as
+    `packed.build_packed_postings`, different at-rest bit format."""
+    from pyspark.sql import functions as F
+
+    with_shard = term_doc_tf.withColumn(
+        "shard_id", (F.col("doc_id") / F.lit(shard_span)).cast("int"))
+
+    def encode_group(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, shard_id = key
+        order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+        docs = pdf["doc_id"].to_numpy()[order].astype(np.int64)
+        gaps = np.empty_like(docs)
+        gaps[0] = docs[0]
+        np.subtract(docs[1:], docs[:-1], out=gaps[1:])
+        return pd.DataFrame([{
+            "term": term, "shard_id": int(shard_id), "df": int(docs.size),
+            "first_doc": int(docs[0]),
+            "doc_gaps": pfd_encode(gaps.astype(np.uint64)),
+            "tfs": pfd_encode(pdf["tf"].to_numpy()[order].astype(np.uint64)),
+            "dls": pfd_encode(pdf["dl"].to_numpy()[order].astype(np.uint64)),
+        }])
+
+    return (with_shard.groupBy("term", "shard_id")
+            .applyInPandas(encode_group, PFD_SCHEMA))
+
+
+def unpack_packed_pfd(packed: DataFrame) -> DataFrame:
+    """Inverse of build_packed_postings_pfd (the round-trip gate)."""
+    schema = "term string, doc_id long, tf long, dl long"
+
+    def unpack(batches):
+        for pdf in batches:
+            outs = []
+            for r in pdf.itertuples(index=False):
+                gaps = pfd_decode(bytes(r.doc_gaps)).astype(np.int64)
+                outs.append(pd.DataFrame({
+                    "term": r.term,
+                    "doc_id": np.cumsum(gaps),
+                    "tf": pfd_decode(bytes(r.tfs)).astype(np.int64),
+                    "dl": pfd_decode(bytes(r.dls)).astype(np.int64),
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return packed.mapInPandas(unpack, schema)

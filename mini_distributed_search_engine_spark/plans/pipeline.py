@@ -243,8 +243,11 @@ class StagedIndexBuild:
             seg.write.mode("overwrite").parquet(str(self._dir("packed") / "data"))
             src.unpersist()
             wall = int((time.perf_counter() - t0) * 1000)
-            self._commit("packed", wall)
+            # lineage BEFORE the commit marker (like every other stage): a
+            # crash in between re-runs the stage; the inverse order would
+            # leave a committed stage without lineage forever (resume skips it)
             self._lineage_from_packed("packed", wall)
+            self._commit("packed", wall)
             status["packed"] = "built"
 
         if self.is_committed("merged"):
@@ -255,8 +258,8 @@ class StagedIndexBuild:
             (merge_packed(packed, level_factor=merge_factor)
              .write.mode("overwrite").parquet(str(self._dir("merged") / "data")))
             wall = int((time.perf_counter() - t0) * 1000)
-            self._commit("merged", wall)
             self._lineage_from_packed("merged", wall)
+            self._commit("merged", wall)
             status["merged"] = "built"
 
         return status

@@ -1,0 +1,72 @@
+"""PForDelta codec: roundtrip exactness, size behavior, Spark segments."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mini_distributed_search_engine_spark.index.codec import varint_encode
+from mini_distributed_search_engine_spark.index.codec_pfd import (
+    PFD_BLOCK, build_packed_postings_pfd, pfd_decode, pfd_encode,
+    unpack_packed_pfd)
+
+
+def _rt(v: np.ndarray) -> None:
+    dec = pfd_decode(pfd_encode(v))
+    assert dec.dtype == np.uint64
+    np.testing.assert_array_equal(dec, v.astype(np.uint64))
+
+
+def test_empty_and_degenerate():
+    _rt(np.empty(0, dtype=np.uint64))
+    _rt(np.zeros(1, dtype=np.uint64))
+    _rt(np.zeros(PFD_BLOCK * 3, dtype=np.uint64))
+    _rt(np.array([2**63 - 1], dtype=np.uint64))
+
+
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 255, 256, 1000])
+def test_block_boundaries(n):
+    rng = np.random.default_rng(n)
+    _rt(rng.integers(0, 1 << 20, n).astype(np.uint64))
+
+
+def test_exceptions_patch_wide_values():
+    # mostly tiny values + a few >32-bit outliers: the packed width must
+    # stay small (outliers ride the exception path), and decode must be exact
+    v = np.ones(500, dtype=np.uint64)
+    v[[3, 250, 499]] = [2**40, 2**55, 2**63 - 1]
+    enc = pfd_encode(v)
+    _rt(v)
+    # 500 one-bit values + 3 exceptions must come in far under varint's
+    # 1-byte-per-value floor
+    assert len(enc) < len(varint_encode(v)) / 2
+
+
+def test_smaller_than_varint_on_posting_shapes():
+    rng = np.random.default_rng(0)
+    gaps = rng.geometric(0.2, 100_000).astype(np.uint64)   # dense-term gaps
+    tfs = np.minimum(rng.zipf(2.5, 100_000), 50).astype(np.uint64)
+    for v in (gaps, tfs):
+        assert len(pfd_encode(v)) < 0.7 * len(varint_encode(v))
+        _rt(v)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=400))
+def test_roundtrip_property(values):
+    _rt(np.array(values, dtype=np.uint64))
+
+
+def test_spark_segment_roundtrip(spark):
+    """PFD segments decode back to the exact (term, doc_id, tf, dl) rows."""
+    from mini_distributed_search_engine_spark.index.build import build_index
+    from mini_distributed_search_engine_spark.sources.transcripts import (
+        synthesize_transcripts_pdf)
+    idx = build_index(spark.createDataFrame(
+        synthesize_transcripts_pdf(40, seed=99)))
+    tf_dl = idx.term_doc_tf.select("term", "doc_id", "tf", "dl")
+    packed = build_packed_postings_pfd(tf_dl, shard_span=64)
+    back = unpack_packed_pfd(packed)
+    a = sorted(map(tuple, tf_dl.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
