@@ -381,6 +381,20 @@ def _packed_pfd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_packed_postings_pfd(idx.term_doc_tf, shard_span=128))
 
 
+def _index_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cold-tier lifecycle: serving index -> PFD archive -> restored
+    serving index -> decoded rows. Must equal the raw postings table
+    (same oracle as packed_roundtrip); restore byte-identity for
+    canonically-blocked segments and rank-identity on the restored index
+    are pytest-enforced (tests/test_codec_pfd.py)."""
+    from mini_distributed_search_engine_spark.index.codec_pfd import (
+        archive_packed, restore_packed)
+    idx = _index(spark, sf_dir, stem=True)
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    packed = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=128)
+    return unpack_to_rows(restore_packed(archive_packed(packed)))
+
+
 def _packed_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental append: pack the first half of the doc space, append the
     second half's postings (boundary-shard byte splice), decode back — must
@@ -923,8 +937,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_proximity_wand": _bm25_proximity_wand,
         "span_near_match": _span_near,
         "packed_roundtrip": _packed_roundtrip,
-        # NEW round 5: the PForDelta codec twin of the varint round-trip
+        # NEW round 5: the PForDelta codec twin of the varint round-trip,
+        # and the cold-tier archive->restore lifecycle built on it
         "packed_pfd_roundtrip": _packed_pfd_roundtrip,
+        "index_archive_roundtrip": _index_archive_roundtrip,
         "index_lineage": _index_lineage,
         "packed_incremental_roundtrip": _packed_incremental,
         # NEW round 4: tombstone deletes folded in at compaction time
@@ -1091,6 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "span_near_match": O.sql_span_near_match(stem=True),
         "packed_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         "packed_pfd_roundtrip": O.sql_term_doc_tf_dl(stem=True),
+        "index_archive_roundtrip": O.sql_term_doc_tf_dl(stem=True),
         # same postings oracle minus the deterministic tombstone slice
         # (dl keeps its pre-delete value: a doc's length never depends on
         # OTHER docs, and the packed dls are per-posting copies)

@@ -237,6 +237,92 @@ def build_packed_postings_pfd(term_doc_tf: DataFrame,
             .applyInPandas(encode_group, PFD_SCHEMA))
 
 
+# ---------------------------------------------------------------------------
+# Cold tier: archive a SERVING (varint) packed index as PFD segments and
+# restore it byte-identically. The archive drops the serving-only metadata
+# (block-max norms, per-block byte offsets — both deterministic functions of
+# the postings + enc_avgdl, recomputed on restore) and re-encodes the three
+# value streams at PFD's ~0.5x footprint; restore runs codec.encode_postings
+# with the STORED enc_avgdl, so the rehydrated segments are byte-identical
+# to the originals (test-enforced) and every serving path (WAND block skips,
+# splice merges, purge range gates) works unchanged on a restored index.
+
+PFD_ARCHIVE_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("shard_id", T.IntegerType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("global_df", T.LongType(), False),
+    T.StructField("first_doc", T.LongType(), False),
+    T.StructField("enc_avgdl", T.DoubleType(), False),  # restore input
+    T.StructField("doc_gaps", T.BinaryType(), False),   # PFD streams
+    T.StructField("tfs", T.BinaryType(), False),
+    T.StructField("dls", T.BinaryType(), False),
+])
+
+
+def archive_packed(packed: DataFrame) -> DataFrame:
+    """Serving (PACKED_SCHEMA, varint) segments -> PFD archive segments.
+    Narrow per-segment transcode, no shuffle, no re-sort: the decoded gap
+    stream re-encodes as-is (doc order is already canonical)."""
+    cols = [f.name for f in PFD_ARCHIVE_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                out.append({
+                    "term": r.term, "shard_id": int(r.shard_id),
+                    "df": int(r.df), "global_df": int(r.global_df),
+                    "first_doc": int(r.first_doc),
+                    "enc_avgdl": float(r.enc_avgdl),
+                    "doc_gaps": pfd_encode(varint_decode(bytes(r.doc_gaps))),
+                    "tfs": pfd_encode(varint_decode(bytes(r.tfs))),
+                    "dls": pfd_encode(varint_decode(bytes(r.dls))),
+                })
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    return packed.mapInPandas(gen, PFD_ARCHIVE_SCHEMA)
+
+
+def restore_packed(archived: DataFrame) -> DataFrame:
+    """PFD archive segments -> serving (PACKED_SCHEMA) segments.
+
+    For canonically-blocked segments (anything encode_postings produced:
+    fresh builds, purge re-encodes) the restore is BYTE-IDENTICAL —
+    encode_postings is deterministic in (doc_ids, tfs, dls, avgdl) and
+    the archive kept enc_avgdl (tests/test_codec_pfd.py). Spliced
+    segments (merge_packed / append boundary shards) carry their source
+    runs' block boundaries, which the archive does not record; they
+    restore to the canonical 128-block equivalent — same postings blobs,
+    same scores, sound block-max bounds, just re-blocked skip metadata
+    (logical identity + rank-identity test-enforced)."""
+    from .codec import encode_postings
+    from .packed import PACKED_SCHEMA, _ENC_KEYS
+
+    cols = [f.name for f in PACKED_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                gaps = pfd_decode(bytes(r.doc_gaps)).astype(np.int64)
+                docs = np.cumsum(gaps)
+                enc = encode_postings(
+                    docs, pfd_decode(bytes(r.tfs)).astype(np.int64),
+                    pfd_decode(bytes(r.dls)).astype(np.int64),
+                    float(r.enc_avgdl))
+                row = {"term": r.term, "shard_id": int(r.shard_id),
+                       "global_df": int(r.global_df),
+                       "last_doc": int(docs[-1]) if docs.size else 0}
+                row.update({k: enc[k] for k in _ENC_KEYS})
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    return archived.mapInPandas(gen, PACKED_SCHEMA)
+
+
 def unpack_packed_pfd(packed: DataFrame) -> DataFrame:
     """Inverse of build_packed_postings_pfd (the round-trip gate)."""
     schema = "term string, doc_id long, tf long, dl long"
