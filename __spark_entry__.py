@@ -259,6 +259,18 @@ def _positions_packed_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unpack_positions(_positions_packed(spark, sf_dir))
 
 
+def _positions_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional cold tier: packed positions -> PFD archive -> restored
+    serving segments -> rows, gated against the same positional oracle
+    (byte-identity/rank-identity pytest-enforced in tests/test_codec_pfd.py)."""
+    from mini_distributed_search_engine_spark.index.codec_pfd import (
+        archive_positions, restore_positions)
+    from mini_distributed_search_engine_spark.index.positions import (
+        unpack_positions)
+    return unpack_positions(restore_positions(archive_positions(
+        _positions_packed(spark, sf_dir))))
+
+
 def _phrase_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEW round 5: phrase search served from the PACKED positional index
     (per-shard anchor-intersection kernel, candidate-block-only position
@@ -933,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_match": _phrase,
         # NEW round 5: packed positional index family
         "positions_packed_roundtrip": _positions_packed_roundtrip,
+        # NEW round 5: positional cold tier (PFD archive -> restore)
+        "positions_archive_roundtrip": _positions_archive_roundtrip,
         "phrase_match_packed": _phrase_packed,
         "bm25_topk_proximity_wand": _bm25_proximity_wand,
         "span_near_match": _span_near,
@@ -1102,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         # round 5: the packed positional family reuses the row-layout
         # oracles — the physical format must be invisible to the answer
         "positions_packed_roundtrip": O.sql_term_positions(stem=True),
+        "positions_archive_roundtrip": O.sql_term_positions(stem=True),
         "phrase_match_packed": O.sql_phrase_match(stem=True),
         "bm25_topk_proximity_wand": O.sql_bm25_topk_proximity(stem=True),
         "span_near_match": O.sql_span_near_match(stem=True),

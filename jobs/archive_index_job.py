@@ -8,11 +8,19 @@ of the postings plus the stored enc_avgdl, so `--restore` rebuilds it
 exactly (byte-identical for canonically-blocked segments, test-enforced).
 Narrow per-segment transcode both ways: no shuffle, no driver data.
 
+Both index families archive: ``--kind tf`` (the default) moves packed TF
+posting segments, ``--kind positions`` the packed positional segments
+(the biggest structure at rest and the best PFD fit — per-doc position
+deltas are 1-3-bit values that each cost varint a full byte).
+
 Usage:
   spark-submit --py-files mdse.zip jobs/archive_index_job.py \
       --packed /data/index/packed --out /cold/index.pfd           # archive
   spark-submit --py-files mdse.zip jobs/archive_index_job.py \
       --restore /cold/index.pfd --out /data/index/packed_restored
+  spark-submit --py-files mdse.zip jobs/archive_index_job.py \
+      --kind positions --packed /data/index/positions_packed \
+      --out /cold/pos.pfd
 """
 
 from __future__ import annotations
@@ -27,14 +35,23 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from mini_distributed_search_engine_spark.index.codec_pfd import (
-    archive_packed, restore_packed)
+    archive_packed, archive_positions, restore_packed, restore_positions)
 from mini_distributed_search_engine_spark.session import get_spark
 
 
-def _stream_bytes(df) -> int:
-    return int(df.agg(
-        (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs"))
-         + F.sum(F.length("dls"))).alias("b")).collect()[0]["b"] or 0)
+def _stream_bytes(df, streams) -> int:
+    total = None
+    for c in streams:
+        e = F.sum(F.length(c))
+        total = e if total is None else total + e
+    return int(df.agg(total.alias("b")).collect()[0]["b"] or 0)
+
+
+_KINDS = {
+    "tf": (archive_packed, restore_packed, ("doc_gaps", "tfs", "dls")),
+    "positions": (archive_positions, restore_positions,
+                  ("doc_gaps", "pos_counts", "pos_deltas")),
+}
 
 
 def main() -> None:
@@ -43,20 +60,25 @@ def main() -> None:
     g.add_argument("--packed", help="hot-tier packed index parquet to archive")
     g.add_argument("--restore", help="cold-tier PFD archive parquet to restore")
     ap.add_argument("--out", required=True, help="output parquet directory")
+    ap.add_argument("--kind", choices=sorted(_KINDS), default="tf",
+                    help="which segment family: TF postings or positions")
     args = ap.parse_args()
 
+    archive_fn, restore_fn, streams = _KINDS[args.kind]
     spark = get_spark("mdse-archive")
     if args.packed:
         src = spark.read.parquet(args.packed)
-        out = archive_packed(src)
+        out = archive_fn(src)
         out.write.mode("overwrite").parquet(args.out)
-        res = {"mode": "archive", "segments": spark.read.parquet(args.out).count(),
-               "hot_stream_bytes": _stream_bytes(src),
-               "cold_stream_bytes": _stream_bytes(spark.read.parquet(args.out))}
+        res = {"mode": "archive", "kind": args.kind,
+               "segments": spark.read.parquet(args.out).count(),
+               "hot_stream_bytes": _stream_bytes(src, streams),
+               "cold_stream_bytes": _stream_bytes(
+                   spark.read.parquet(args.out), streams)}
     else:
-        out = restore_packed(spark.read.parquet(args.restore))
+        out = restore_fn(spark.read.parquet(args.restore))
         out.write.mode("overwrite").parquet(args.out)
-        res = {"mode": "restore",
+        res = {"mode": "restore", "kind": args.kind,
                "segments": spark.read.parquet(args.out).count()}
     print(json.dumps(res))
 

@@ -323,6 +323,74 @@ def restore_packed(archived: DataFrame) -> DataFrame:
     return archived.mapInPandas(gen, PACKED_SCHEMA)
 
 
+PFD_POS_ARCHIVE_SCHEMA = T.StructType([
+    T.StructField("term", T.StringType(), False),
+    T.StructField("shard_id", T.IntegerType(), False),
+    T.StructField("df", T.LongType(), False),
+    T.StructField("n_pos", T.LongType(), False),
+    T.StructField("first_doc", T.LongType(), False),
+    T.StructField("doc_gaps", T.BinaryType(), False),    # PFD streams
+    T.StructField("pos_counts", T.BinaryType(), False),
+    T.StructField("pos_deltas", T.BinaryType(), False),
+])
+
+
+def archive_positions(packed_pos: DataFrame) -> DataFrame:
+    """Positional (POS_SCHEMA, varint) segments -> PFD archive segments —
+    the positional twin of `archive_packed`, and the tier where PFD pays
+    most: the positional index is the largest structure at rest
+    (O(token occurrences)) and its per-doc position deltas are 1-3-bit
+    values that each cost varint a full byte."""
+    cols = [f.name for f in PFD_POS_ARCHIVE_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                out.append({
+                    "term": r.term, "shard_id": int(r.shard_id),
+                    "df": int(r.df), "n_pos": int(r.n_pos),
+                    "first_doc": int(r.first_doc),
+                    "doc_gaps": pfd_encode(varint_decode(bytes(r.doc_gaps))),
+                    "pos_counts": pfd_encode(
+                        varint_decode(bytes(r.pos_counts))),
+                    "pos_deltas": pfd_encode(
+                        varint_decode(bytes(r.pos_deltas))),
+                })
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    return packed_pos.mapInPandas(gen, PFD_POS_ARCHIVE_SCHEMA)
+
+
+def restore_positions(archived: DataFrame) -> DataFrame:
+    """PFD positional archive -> serving (POS_SCHEMA) segments, via
+    `positions.encode_positions` — byte-identical for canonically-blocked
+    segments, canonical re-block for spliced ones, exactly like
+    `restore_packed` (no enc_avgdl needed: positional block metadata is a
+    function of the occurrence rows alone)."""
+    from .positions import POS_SCHEMA, _abs_positions, encode_positions
+
+    cols = [f.name for f in POS_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                gaps = pfd_decode(bytes(r.doc_gaps)).astype(np.int64)
+                docs = np.cumsum(gaps)
+                counts = pfd_decode(bytes(r.pos_counts)).astype(np.int64)
+                deltas = pfd_decode(bytes(r.pos_deltas)).astype(np.int64)
+                flat = _abs_positions(deltas, counts)
+                row = {"term": r.term, "shard_id": int(r.shard_id)}
+                row.update(encode_positions(np.repeat(docs, counts), flat))
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    return archived.mapInPandas(gen, POS_SCHEMA)
+
+
 def unpack_packed_pfd(packed: DataFrame) -> DataFrame:
     """Inverse of build_packed_postings_pfd (the round-trip gate)."""
     schema = "term string, doc_id long, tf long, dl long"

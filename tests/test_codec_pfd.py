@@ -145,6 +145,50 @@ def test_archive_restore_serves_rank_identical(spark):
     assert sorted(a) == sorted(b) and len(a) > 0
 
 
+def test_positions_archive_restore(spark):
+    """Positional cold tier: archive -> restore is byte-identical for a
+    fresh packed positional index, and phrase over a restored MERGED one
+    (canonically re-blocked) is rank-identical to the original."""
+    from mini_distributed_search_engine_spark.functions.analyzer import (
+        term_positions_pandas)
+    from mini_distributed_search_engine_spark.index.build import (
+        with_stable_doc_ids)
+    from mini_distributed_search_engine_spark.index.codec_pfd import (
+        archive_positions, restore_positions)
+    from mini_distributed_search_engine_spark.index.positions import (
+        build_packed_positions, merge_packed_positions)
+    from mini_distributed_search_engine_spark.query.bm25 import Query
+    from mini_distributed_search_engine_spark.query.phrase import (
+        phrase_match_packed)
+    from mini_distributed_search_engine_spark.sources.transcripts import (
+        synthesize_transcripts_pdf)
+
+    docs = with_stable_doc_ids(spark.createDataFrame(
+        synthesize_transcripts_pdf(50, seed=123)))
+    pos = term_positions_pandas(docs, "text", stem=True)
+    packed = build_packed_positions(pos, shard_span=64).persist()
+
+    def seg_map(df):
+        return {(r["term"], r["shard_id"]):
+                tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray))
+                      else (tuple(r[c]) if isinstance(r[c], list) else r[c])
+                      for c in df.columns if c not in ("term", "shard_id"))
+                for r in df.collect()}
+
+    restored = restore_positions(archive_positions(packed))
+    assert seg_map(packed) == seg_map(restored)  # byte-identical
+
+    merged = merge_packed_positions(packed, level_factor=4)
+    restored_m = restore_positions(archive_positions(merged))
+    qs = (Query("f1", "apple banana", k=200), Query("f3", "apple apple", k=200))
+    a = sorted(map(tuple, phrase_match_packed(
+        spark, merged, queries=qs).collect()))
+    b = sorted(map(tuple, phrase_match_packed(
+        spark, restored_m, queries=qs).collect()))
+    assert a == b and len(a) > 0
+    packed.unpersist()
+
+
 def test_spark_segment_roundtrip(spark):
     """PFD segments decode back to the exact (term, doc_id, tf, dl) rows."""
     from mini_distributed_search_engine_spark.index.build import build_index
