@@ -39,12 +39,16 @@ from mini_distributed_search_engine_spark.index.codec_pfd import (
 from mini_distributed_search_engine_spark.session import get_spark
 
 
-def _stream_bytes(df, streams) -> int:
+def _stats(df, streams) -> tuple[int, int]:
+    """(segment count, total stream bytes) in ONE scan — the stream blobs
+    are the bulk of the index, so every extra pass over them costs real
+    wall time on a big root."""
     total = None
     for c in streams:
         e = F.sum(F.length(c))
         total = e if total is None else total + e
-    return int(df.agg(total.alias("b")).collect()[0]["b"] or 0)
+    row = df.agg(F.count(F.lit(1)).alias("n"), total.alias("b")).collect()[0]
+    return int(row["n"]), int(row["b"] or 0)
 
 
 _KINDS = {
@@ -68,16 +72,14 @@ def main() -> None:
     spark = get_spark("mdse-archive")
     if args.packed:
         src = spark.read.parquet(args.packed)
-        out = archive_fn(src)
-        out.write.mode("overwrite").parquet(args.out)
-        res = {"mode": "archive", "kind": args.kind,
-               "segments": spark.read.parquet(args.out).count(),
-               "hot_stream_bytes": _stream_bytes(src, streams),
-               "cold_stream_bytes": _stream_bytes(
-                   spark.read.parquet(args.out), streams)}
+        archive_fn(src).write.mode("overwrite").parquet(args.out)
+        n, cold_b = _stats(spark.read.parquet(args.out), streams)
+        _, hot_b = _stats(src, streams)
+        res = {"mode": "archive", "kind": args.kind, "segments": n,
+               "hot_stream_bytes": hot_b, "cold_stream_bytes": cold_b}
     else:
-        out = restore_fn(spark.read.parquet(args.restore))
-        out.write.mode("overwrite").parquet(args.out)
+        restore_fn(spark.read.parquet(args.restore)).write \
+            .mode("overwrite").parquet(args.out)
         res = {"mode": "restore", "kind": args.kind,
                "segments": spark.read.parquet(args.out).count()}
     print(json.dumps(res))

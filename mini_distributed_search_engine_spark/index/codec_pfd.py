@@ -260,29 +260,57 @@ PFD_ARCHIVE_SCHEMA = T.StructType([
 ])
 
 
-def archive_packed(packed: DataFrame) -> DataFrame:
-    """Serving (PACKED_SCHEMA, varint) segments -> PFD archive segments.
-    Narrow per-segment transcode, no shuffle, no re-sort: the decoded gap
-    stream re-encodes as-is (doc order is already canonical)."""
-    cols = [f.name for f in PFD_ARCHIVE_SCHEMA.fields]
+def _require_columns(df: DataFrame, required, forbidden, what: str) -> None:
+    """Fail fast on tier/kind mix-ups. Both decoders happily chew arbitrary
+    bytes (varint_decode never errors, pfd_decode misreads a header), so
+    archiving an already-archived index — or restoring a hot one — would
+    SILENTLY write corrupt output and the cold tier's whole point is that
+    the hot copy may then be deleted. The hot schemas carry
+    ``block_last_doc``; the archive schemas deliberately do not — that
+    plus the kind-specific stream columns identifies the format."""
+    cols = set(df.columns)
+    missing = sorted(set(required) - cols)
+    unexpected = sorted(set(forbidden) & cols)
+    if missing or unexpected:
+        raise ValueError(
+            f"{what}: input columns do not match the expected tier/kind "
+            f"(missing: {missing}, unexpected: {unexpected}; got: "
+            f"{sorted(cols)}) — refusing to transcode, the output would be "
+            "silently corrupt")
+
+
+def _archive_streams(src: DataFrame, schema: T.StructType,
+                     stream_cols: tuple[str, ...]) -> DataFrame:
+    """Shared archive transcode: copy the schema's metadata columns, run
+    each stream column through varint_decode -> pfd_encode. Narrow
+    per-segment map — no shuffle, no re-sort (decoded streams re-encode
+    as-is; order is already canonical)."""
+    cols = [f.name for f in schema.fields]
+    meta_cols = [c for c in cols if c not in stream_cols]
 
     def gen(batches):
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
-                out.append({
-                    "term": r.term, "shard_id": int(r.shard_id),
-                    "df": int(r.df), "global_df": int(r.global_df),
-                    "first_doc": int(r.first_doc),
-                    "enc_avgdl": float(r.enc_avgdl),
-                    "doc_gaps": pfd_encode(varint_decode(bytes(r.doc_gaps))),
-                    "tfs": pfd_encode(varint_decode(bytes(r.tfs))),
-                    "dls": pfd_encode(varint_decode(bytes(r.dls))),
-                })
+                row = {c: getattr(r, c) for c in meta_cols}
+                for c in stream_cols:
+                    row[c] = pfd_encode(varint_decode(bytes(getattr(r, c))))
+                out.append(row)
             if out:
                 yield pd.DataFrame(out, columns=cols)
 
-    return packed.mapInPandas(gen, PFD_ARCHIVE_SCHEMA)
+    return src.mapInPandas(gen, schema)
+
+
+def archive_packed(packed: DataFrame) -> DataFrame:
+    """Serving (PACKED_SCHEMA, varint) segments -> PFD archive segments."""
+    _require_columns(
+        packed,
+        required=[f.name for f in PFD_ARCHIVE_SCHEMA.fields]
+        + ["block_last_doc"],
+        forbidden=["pos_deltas"], what="archive_packed")
+    return _archive_streams(packed, PFD_ARCHIVE_SCHEMA,
+                            ("doc_gaps", "tfs", "dls"))
 
 
 def restore_packed(archived: DataFrame) -> DataFrame:
@@ -300,6 +328,10 @@ def restore_packed(archived: DataFrame) -> DataFrame:
     from .codec import encode_postings
     from .packed import PACKED_SCHEMA, _ENC_KEYS
 
+    _require_columns(
+        archived,
+        required=[f.name for f in PFD_ARCHIVE_SCHEMA.fields],
+        forbidden=["block_last_doc", "pos_deltas"], what="restore_packed")
     cols = [f.name for f in PACKED_SCHEMA.fields]
 
     def gen(batches):
@@ -341,26 +373,13 @@ def archive_positions(packed_pos: DataFrame) -> DataFrame:
     most: the positional index is the largest structure at rest
     (O(token occurrences)) and its per-doc position deltas are 1-3-bit
     values that each cost varint a full byte."""
-    cols = [f.name for f in PFD_POS_ARCHIVE_SCHEMA.fields]
-
-    def gen(batches):
-        for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                out.append({
-                    "term": r.term, "shard_id": int(r.shard_id),
-                    "df": int(r.df), "n_pos": int(r.n_pos),
-                    "first_doc": int(r.first_doc),
-                    "doc_gaps": pfd_encode(varint_decode(bytes(r.doc_gaps))),
-                    "pos_counts": pfd_encode(
-                        varint_decode(bytes(r.pos_counts))),
-                    "pos_deltas": pfd_encode(
-                        varint_decode(bytes(r.pos_deltas))),
-                })
-            if out:
-                yield pd.DataFrame(out, columns=cols)
-
-    return packed_pos.mapInPandas(gen, PFD_POS_ARCHIVE_SCHEMA)
+    _require_columns(
+        packed_pos,
+        required=[f.name for f in PFD_POS_ARCHIVE_SCHEMA.fields]
+        + ["block_last_doc"],
+        forbidden=["tfs"], what="archive_positions")
+    return _archive_streams(packed_pos, PFD_POS_ARCHIVE_SCHEMA,
+                            ("doc_gaps", "pos_counts", "pos_deltas"))
 
 
 def restore_positions(archived: DataFrame) -> DataFrame:
@@ -371,6 +390,10 @@ def restore_positions(archived: DataFrame) -> DataFrame:
     function of the occurrence rows alone)."""
     from .positions import POS_SCHEMA, _abs_positions, encode_positions
 
+    _require_columns(
+        archived,
+        required=[f.name for f in PFD_POS_ARCHIVE_SCHEMA.fields],
+        forbidden=["block_last_doc", "tfs"], what="restore_positions")
     cols = [f.name for f in POS_SCHEMA.fields]
 
     def gen(batches):

@@ -57,6 +57,16 @@ def test_roundtrip_property(values):
     _rt(np.array(values, dtype=np.uint64))
 
 
+def _seg_map(df):
+    """(term, shard) -> hashable tuple of every other column (bytes/list
+    normalized) — the byte-identity comparison for both archive tests."""
+    return {(r["term"], r["shard_id"]):
+            tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray))
+                  else (tuple(r[c]) if isinstance(r[c], list) else r[c])
+                  for c in df.columns if c not in ("term", "shard_id"))
+            for r in df.collect()}
+
+
 def test_archive_restore_byte_identical(spark):
     """Archiving a serving index to PFD and restoring must reproduce every
     canonically-blocked segment byte-for-byte (blobs, block-max bounds,
@@ -80,14 +90,7 @@ def test_archive_restore_byte_identical(spark):
     archived = archive_packed(packed).persist()
     restored = restore_packed(archived)
 
-    def seg_map(df):
-        return {(r["term"], r["shard_id"]):
-                tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray))
-                      else (tuple(r[c]) if isinstance(r[c], list) else r[c])
-                      for c in df.columns if c not in ("term", "shard_id"))
-                for r in df.collect()}
-
-    orig, back = seg_map(packed), seg_map(restored)
+    orig, back = _seg_map(packed), _seg_map(restored)
     assert orig.keys() == back.keys()
     assert orig == back  # byte-identical segments, metadata included
 
@@ -145,6 +148,36 @@ def test_archive_restore_serves_rank_identical(spark):
     assert sorted(a) == sorted(b) and len(a) > 0
 
 
+def test_archive_refuses_wrong_tier_or_kind(spark):
+    """Tier/kind mix-ups must fail fast: both decoders happily chew
+    arbitrary bytes, so archiving an archive (or restoring a hot index,
+    or crossing TF/positions) would otherwise write silently-corrupt
+    output into the tier whose whole point is replacing the hot copy."""
+    from mini_distributed_search_engine_spark.index.build import build_index
+    from mini_distributed_search_engine_spark.index.codec_pfd import (
+        archive_packed, archive_positions, restore_packed,
+        restore_positions)
+    from mini_distributed_search_engine_spark.index.packed import (
+        build_packed_postings)
+    from mini_distributed_search_engine_spark.sources.transcripts import (
+        synthesize_transcripts_pdf)
+
+    idx = build_index(spark.createDataFrame(
+        synthesize_transcripts_pdf(10, seed=7)))
+    avgdl = float(idx.doc_stats.collect()[0]["avgdl"])
+    hot = build_packed_postings(idx.term_doc_tf, avgdl, shard_span=64)
+    cold = archive_packed(hot)
+
+    with pytest.raises(ValueError, match="archive_packed"):
+        archive_packed(cold)           # double-archive
+    with pytest.raises(ValueError, match="restore_packed"):
+        restore_packed(hot)            # restore a hot index
+    with pytest.raises(ValueError, match="archive_positions"):
+        archive_positions(hot)         # TF index through the positions path
+    with pytest.raises(ValueError, match="restore_positions"):
+        restore_positions(cold)        # TF archive through the positions path
+
+
 def test_positions_archive_restore(spark):
     """Positional cold tier: archive -> restore is byte-identical for a
     fresh packed positional index, and phrase over a restored MERGED one
@@ -168,15 +201,8 @@ def test_positions_archive_restore(spark):
     pos = term_positions_pandas(docs, "text", stem=True)
     packed = build_packed_positions(pos, shard_span=64).persist()
 
-    def seg_map(df):
-        return {(r["term"], r["shard_id"]):
-                tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray))
-                      else (tuple(r[c]) if isinstance(r[c], list) else r[c])
-                      for c in df.columns if c not in ("term", "shard_id"))
-                for r in df.collect()}
-
     restored = restore_positions(archive_positions(packed))
-    assert seg_map(packed) == seg_map(restored)  # byte-identical
+    assert _seg_map(packed) == _seg_map(restored)  # byte-identical
 
     merged = merge_packed_positions(packed, level_factor=4)
     restored_m = restore_positions(archive_positions(merged))
