@@ -217,6 +217,30 @@ def main() -> None:
             best = min(best, time.perf_counter() - t)
         per_prox[q.query_id] = round(best, 4)
 
+    # ---- cold-tier archive (round 5; ADDITIVE keys): PFD-transcode both
+    # packed families once and report the at-rest ratio + wall. Byte
+    # counts are deterministic; one run suffices.
+    from pyspark.sql import functions as F
+    from mini_distributed_search_engine_spark.index.codec_pfd import (
+        archive_packed, archive_positions)
+
+    def _stream_bytes(df, streams):
+        e = None
+        for c in streams:
+            x = F.sum(F.length(c))
+            e = x if e is None else e + x
+        return int(df.agg(e.alias("b")).collect()[0]["b"] or 0)
+
+    ta = time.perf_counter()
+    cold_tf = _stream_bytes(archive_packed(packed_r),
+                            ("doc_gaps", "tfs", "dls"))
+    cold_pos = _stream_bytes(archive_positions(pos_packed),
+                             ("doc_gaps", "pos_counts", "pos_deltas"))
+    archive_sec = round(time.perf_counter() - ta, 3)
+    hot_tf = _stream_bytes(packed_r, ("doc_gaps", "tfs", "dls"))
+    hot_pos = _stream_bytes(pos_packed,
+                            ("doc_gaps", "pos_counts", "pos_deltas"))
+
     lat = sorted(per_query.values())
     p50 = lat[len(lat) // 2]
     lat_w = sorted(per_query_wand.values())
@@ -245,6 +269,9 @@ def main() -> None:
             len(per_phrase) // 2],
         "queries_prox_packed": per_prox,
         "prox_packed_p50_sec": sorted(per_prox.values())[len(per_prox) // 2],
+        "archive_sec": archive_sec,
+        "archive_tf_ratio": round(cold_tf / hot_tf, 3) if hot_tf else None,
+        "archive_pos_ratio": round(cold_pos / hot_pos, 3) if hot_pos else None,
         "cpus": cpus,
     }))
 
