@@ -165,6 +165,24 @@ def main() -> None:
             "requery_batch_sec": round(requery_sec, 3),
         }
 
+    # ---- cold-tier archive at scale: PFD-transcode the merged index,
+    # report wall + at-rest ratio (archive is a narrow per-segment map,
+    # so its throughput should track the pack stage, not the queries)
+    from mini_distributed_search_engine_spark.index.codec_pfd import (
+        archive_packed)
+
+    def stream_bytes(df):
+        return int(df.agg(
+            (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs"))
+             + F.sum(F.length("dls"))).alias("b")).collect()[0]["b"] or 0)
+
+    t = time.perf_counter()
+    archive_packed(merged).write.mode("overwrite").parquet(
+        str(root / "cold"))
+    archive_sec = time.perf_counter() - t
+    cold_b = stream_bytes(spark.read.parquet(str(root / "cold")))
+    hot_b = stream_bytes(merged)
+
     med = lambda d: sorted(d.values())[len(d) // 2]
     print(json.dumps({
         "metric": "staged_pipeline_scale_run",
@@ -181,6 +199,10 @@ def main() -> None:
         "batch_sec": batch_sec,
         "batch_per_query_sec": round(batch_sec / len(QUERIES), 4),
         "purge": purge,
+        "archive_sec": round(archive_sec, 3),
+        "archive_bytes_hot": hot_b,
+        "archive_bytes_cold": cold_b,
+        "archive_ratio": round(cold_b / hot_b, 3) if hot_b else None,
         "cpus": args.cpus,
     }))
 
