@@ -220,26 +220,16 @@ def main() -> None:
     # ---- cold-tier archive (round 5; ADDITIVE keys): PFD-transcode both
     # packed families once and report the at-rest ratio + wall. Byte
     # counts are deterministic; one run suffices.
-    from pyspark.sql import functions as F
     from mini_distributed_search_engine_spark.index.codec_pfd import (
-        archive_packed, archive_positions)
-
-    def _stream_bytes(df, streams):
-        e = None
-        for c in streams:
-            x = F.sum(F.length(c))
-            e = x if e is None else e + x
-        return int(df.agg(e.alias("b")).collect()[0]["b"] or 0)
+        POS_STREAMS, TF_STREAMS, archive_packed, archive_positions,
+        stream_bytes)
 
     ta = time.perf_counter()
-    cold_tf = _stream_bytes(archive_packed(packed_r),
-                            ("doc_gaps", "tfs", "dls"))
-    cold_pos = _stream_bytes(archive_positions(pos_packed),
-                             ("doc_gaps", "pos_counts", "pos_deltas"))
+    cold_tf = stream_bytes(archive_packed(packed_r), TF_STREAMS)
+    cold_pos = stream_bytes(archive_positions(pos_packed), POS_STREAMS)
     archive_sec = round(time.perf_counter() - ta, 3)
-    hot_tf = _stream_bytes(packed_r, ("doc_gaps", "tfs", "dls"))
-    hot_pos = _stream_bytes(pos_packed,
-                            ("doc_gaps", "pos_counts", "pos_deltas"))
+    hot_tf = stream_bytes(packed_r, TF_STREAMS)
+    hot_pos = stream_bytes(pos_packed, POS_STREAMS)
 
     lat = sorted(per_query.values())
     p50 = lat[len(lat) // 2]

@@ -35,7 +35,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F
 
 from mini_distributed_search_engine_spark.index.codec_pfd import (
-    archive_packed, archive_positions, restore_packed, restore_positions)
+    POS_STREAMS, TF_STREAMS, archive_packed, archive_positions,
+    restore_packed, restore_positions)
 from mini_distributed_search_engine_spark.session import get_spark
 
 
@@ -52,9 +53,8 @@ def _stats(df, streams) -> tuple[int, int]:
 
 
 _KINDS = {
-    "tf": (archive_packed, restore_packed, ("doc_gaps", "tfs", "dls")),
-    "positions": (archive_positions, restore_positions,
-                  ("doc_gaps", "pos_counts", "pos_deltas")),
+    "tf": (archive_packed, restore_packed, TF_STREAMS),
+    "positions": (archive_positions, restore_positions, POS_STREAMS),
 }
 
 

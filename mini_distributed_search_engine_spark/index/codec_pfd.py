@@ -50,6 +50,21 @@ from .codec import varint_decode, varint_encode, varint_lengths
 PFD_BLOCK = 128
 _MAX_B = 32  # packed-width cap; wider values ride the exception path
 
+# the value-stream (blob) columns of each segment family — the single
+# source of truth for every transcode/size-accounting entrypoint
+TF_STREAMS = ("doc_gaps", "tfs", "dls")
+POS_STREAMS = ("doc_gaps", "pos_counts", "pos_deltas")
+
+
+def stream_bytes(df, streams) -> int:
+    """Total at-rest bytes of the given stream columns, one scan."""
+    from pyspark.sql import functions as F
+    total = None
+    for c in streams:
+        e = F.sum(F.length(c))
+        total = e if total is None else total + e
+    return int(df.agg(total.alias("b")).collect()[0]["b"] or 0)
+
 
 def _bit_lengths(v: np.ndarray) -> np.ndarray:
     """bit_length per value (0 for 0), vectorized."""
@@ -309,8 +324,7 @@ def archive_packed(packed: DataFrame) -> DataFrame:
         required=[f.name for f in PFD_ARCHIVE_SCHEMA.fields]
         + ["block_last_doc"],
         forbidden=["pos_deltas"], what="archive_packed")
-    return _archive_streams(packed, PFD_ARCHIVE_SCHEMA,
-                            ("doc_gaps", "tfs", "dls"))
+    return _archive_streams(packed, PFD_ARCHIVE_SCHEMA, TF_STREAMS)
 
 
 def restore_packed(archived: DataFrame) -> DataFrame:
@@ -379,7 +393,7 @@ def archive_positions(packed_pos: DataFrame) -> DataFrame:
         + ["block_last_doc"],
         forbidden=["tfs"], what="archive_positions")
     return _archive_streams(packed_pos, PFD_POS_ARCHIVE_SCHEMA,
-                            ("doc_gaps", "pos_counts", "pos_deltas"))
+                            POS_STREAMS)
 
 
 def restore_positions(archived: DataFrame) -> DataFrame:

@@ -169,19 +169,14 @@ def main() -> None:
     # report wall + at-rest ratio (archive is a narrow per-segment map,
     # so its throughput should track the pack stage, not the queries)
     from mini_distributed_search_engine_spark.index.codec_pfd import (
-        archive_packed)
-
-    def stream_bytes(df):
-        return int(df.agg(
-            (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs"))
-             + F.sum(F.length("dls"))).alias("b")).collect()[0]["b"] or 0)
+        TF_STREAMS, archive_packed, stream_bytes)
 
     t = time.perf_counter()
     archive_packed(merged).write.mode("overwrite").parquet(
         str(root / "cold"))
     archive_sec = time.perf_counter() - t
-    cold_b = stream_bytes(spark.read.parquet(str(root / "cold")))
-    hot_b = stream_bytes(merged)
+    cold_b = stream_bytes(spark.read.parquet(str(root / "cold")), TF_STREAMS)
+    hot_b = stream_bytes(merged, TF_STREAMS)
 
     med = lambda d: sorted(d.values())[len(d) // 2]
     print(json.dumps({
