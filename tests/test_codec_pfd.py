@@ -178,6 +178,43 @@ def test_archive_refuses_wrong_tier_or_kind(spark):
         restore_positions(cold)        # TF archive through the positions path
 
 
+def test_archive_of_streaming_root(spark, tmp_path):
+    """A STREAM-built index (manifest union, spliced boundary shards —
+    the maximally non-canonical layout) must archive and restore to the
+    same postings and identical WAND ranks."""
+    from pathlib import Path
+
+    from mini_distributed_search_engine_spark.index.codec_pfd import (
+        archive_packed, restore_packed)
+    from mini_distributed_search_engine_spark.index.packed import (
+        unpack_to_rows)
+    from mini_distributed_search_engine_spark.query.bm25 import Query
+    from mini_distributed_search_engine_spark.query.wand import wand_topk
+    from mini_distributed_search_engine_spark.sources.transcripts import (
+        synthesize_transcripts_pdf)
+    from mini_distributed_search_engine_spark.streaming.indexing import (
+        StreamingIndexer, read_transcript_stream)
+
+    pdf = synthesize_transcripts_pdf(30, seed=321)  # 120 turns
+    src = Path(tmp_path) / "in"
+    src.mkdir()
+    for i, (lo, hi) in enumerate([(0, 60), (60, 120)]):
+        spark.createDataFrame(pdf.iloc[lo:hi]).coalesce(1).write.parquet(
+            str(src / f"part{i}.parquet"))
+    indexer = StreamingIndexer(spark, str(Path(tmp_path) / "idx"),
+                               shard_span=64)
+    indexer.start(read_transcript_stream(spark, str(src))).awaitTermination(120)
+
+    live = indexer.packed()
+    restored = restore_packed(archive_packed(live))
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    assert rows(unpack_to_rows(live)) == rows(unpack_to_rows(restored))
+    qs = (Query("s1", "apple banana", k=30),)
+    a = rows(wand_topk(spark, live, indexer.doc_stats_df(), queries=qs))
+    b = rows(wand_topk(spark, restored, indexer.doc_stats_df(), queries=qs))
+    assert a == b and len(a) > 0
+
+
 def test_positions_archive_restore(spark):
     """Positional cold tier: archive -> restore is byte-identical for a
     fresh packed positional index, and phrase over a restored MERGED one
